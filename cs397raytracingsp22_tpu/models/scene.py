@@ -1,0 +1,321 @@
+"""Scene description → flat SoA compilation.
+
+The reference's scene is a `Vec<Arc<dyn Intersectable>>` walked per ray
+(tracing.rs:326-350). The TPU-native scene is a pytree of flat arrays —
+per-primitive-type tables, concatenated mesh buffers with threaded BVHs,
+a deduplicated material table, and a packed texture atlas — built once on
+the host and placed on device; rendering is then pure array code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cs397raytracingsp22_tpu.models.camera import Camera
+from cs397raytracingsp22_tpu.models.geometry import (
+    ConvexVolume,
+    Plane,
+    Sphere,
+    StaticMesh,
+    Triangle,
+)
+from cs397raytracingsp22_tpu.models.materials import MaterialTableBuilder
+from cs397raytracingsp22_tpu.ops import bvh as bvhlib
+from cs397raytracingsp22_tpu.utils.texture import TextureAtlasBuilder
+
+SceneObject = Union[Sphere, Triangle, Plane, ConvexVolume, StaticMesh]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "tri_verts",
+        "tri_normals",
+        "tri_uvs",
+        "tri_tangent",
+        "bounds_min",
+        "bounds_max",
+        "skip",
+        "leaf_start",
+        "leaf_count",
+        "transform",
+        "inv_transform",
+        "normal_mat",
+    ],
+    meta_fields=["mat_id", "tex_ids", "leaf_size", "has_uv"],
+)
+@dataclasses.dataclass
+class MeshBlock:
+    """One compiled StaticMesh: reordered triangle SoA + threaded BVH.
+
+    Triangle arrays are pre-gathered per corner (no index-buffer
+    indirection on device) and reordered by the BVH's tri_order so leaf
+    ranges are contiguous.
+    """
+
+    tri_verts: jnp.ndarray  # (NT, 3, 3) object-space corners
+    tri_normals: jnp.ndarray  # (NT, 3, 3) per-corner normals
+    tri_uvs: jnp.ndarray  # (NT, 3, 2) per-corner texcoords
+    tri_tangent: jnp.ndarray  # (NT, 3) per-triangle tangent approx
+    bounds_min: jnp.ndarray  # (NN, 3)
+    bounds_max: jnp.ndarray  # (NN, 3)
+    skip: jnp.ndarray  # (NN,)
+    leaf_start: jnp.ndarray  # (NN,)
+    leaf_count: jnp.ndarray  # (NN,)
+    transform: jnp.ndarray  # (4, 4)
+    inv_transform: jnp.ndarray  # (4, 4)
+    normal_mat: jnp.ndarray  # (3, 3) = inv_transform[:3,:3].T
+    mat_id: int  # static; -1 → material synthesized from textures
+    tex_ids: Tuple[int, int, int, int, int]  # static; -1 → absent
+    leaf_size: int  # static
+    has_uv: bool  # static
+
+
+_SCENE_DATA_FIELDS = [
+    "mat_type",
+    "mat_albedo",
+    "mat_emission",
+    "mat_roughness",
+    "mat_metallic",
+    "mat_ior",
+    "sph_center",
+    "sph_radius",
+    "sph_mat",
+    "pln_point",
+    "pln_normal",
+    "pln_mat",
+    "tri_a",
+    "tri_b",
+    "tri_c",
+    "tri_mat",
+    "vol_center",
+    "vol_radius",
+    "vol_density",
+    "vol_mat",
+    "meshes",
+    "tex_pixels",
+    "tex_offset",
+    "tex_width",
+    "tex_height",
+    "point_light_pos",
+    "ambient",
+]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=_SCENE_DATA_FIELDS,
+    meta_fields=["n_spheres", "n_planes", "n_tris", "n_volumes"],
+)
+@dataclasses.dataclass
+class SceneData:
+    """Compiled scene: the pytree every device-side op consumes.
+
+    Every table is padded to length ≥ 1 (inert rows) so shapes are never
+    zero; actual counts are static metadata used to mask padding.
+    """
+
+    # material table
+    mat_type: jnp.ndarray
+    mat_albedo: jnp.ndarray
+    mat_emission: jnp.ndarray
+    mat_roughness: jnp.ndarray
+    mat_metallic: jnp.ndarray
+    mat_ior: jnp.ndarray
+    # spheres
+    sph_center: jnp.ndarray
+    sph_radius: jnp.ndarray
+    sph_mat: jnp.ndarray
+    # planes
+    pln_point: jnp.ndarray
+    pln_normal: jnp.ndarray
+    pln_mat: jnp.ndarray
+    # standalone triangles
+    tri_a: jnp.ndarray
+    tri_b: jnp.ndarray
+    tri_c: jnp.ndarray
+    tri_mat: jnp.ndarray
+    # convex volumes (sphere boundaries)
+    vol_center: jnp.ndarray
+    vol_radius: jnp.ndarray
+    vol_density: jnp.ndarray
+    vol_mat: jnp.ndarray
+    # meshes
+    meshes: Tuple[MeshBlock, ...]
+    # texture atlas
+    tex_pixels: jnp.ndarray  # (P, 3) uint8
+    tex_offset: jnp.ndarray
+    tex_width: jnp.ndarray
+    tex_height: jnp.ndarray
+    # phong-mode lighting
+    point_light_pos: jnp.ndarray
+    ambient: jnp.ndarray
+    # static actual counts (arrays are padded)
+    n_spheres: int
+    n_planes: int
+    n_tris: int
+    n_volumes: int
+
+
+@dataclasses.dataclass
+class Scene:
+    """User-facing scene (reference tracing.rs:213-218 equivalent)."""
+
+    camera: Camera
+    objects: Sequence[SceneObject]
+    point_light_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    ambient: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def compile(self, leaf_size: int = 4) -> SceneData:
+        return compile_scene(self, leaf_size=leaf_size)
+
+
+def _pad_rows(arr: np.ndarray, min_rows: int, fill: float) -> np.ndarray:
+    if arr.shape[0] >= min_rows:
+        return arr
+    pad_shape = (min_rows - arr.shape[0],) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)], axis=0)
+
+
+def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
+    """Lower a Scene description into device SoA arrays."""
+    mats = MaterialTableBuilder()
+    atlas = TextureAtlasBuilder()
+
+    sph_center, sph_radius, sph_mat = [], [], []
+    pln_point, pln_normal, pln_mat = [], [], []
+    tri_a, tri_b, tri_c, tri_mat = [], [], [], []
+    vol_center, vol_radius, vol_density, vol_mat = [], [], [], []
+    mesh_blocks: list[MeshBlock] = []
+
+    for obj in scene.objects:
+        if isinstance(obj, Sphere):
+            sph_center.append(obj.center)
+            sph_radius.append(obj.radius)
+            sph_mat.append(mats.add(obj.material))
+        elif isinstance(obj, Plane):
+            pln_point.append(obj.point)
+            pln_normal.append(obj.normal)
+            pln_mat.append(mats.add(obj.material))
+        elif isinstance(obj, Triangle):
+            tri_a.append(obj.a)
+            tri_b.append(obj.b)
+            tri_c.append(obj.c)
+            tri_mat.append(mats.add(obj.material))
+        elif isinstance(obj, ConvexVolume):
+            if not isinstance(obj.boundary, Sphere):
+                raise TypeError(
+                    "compiled ConvexVolume supports Sphere boundaries "
+                    "(the only kind the reference scene uses)"
+                )
+            vol_center.append(obj.boundary.center)
+            vol_radius.append(obj.boundary.radius)
+            vol_density.append(obj.density)
+            vol_mat.append(mats.add(obj.phase_function))
+        elif isinstance(obj, StaticMesh):
+            mesh_blocks.append(_compile_mesh(obj, mats, atlas, leaf_size))
+        else:
+            raise TypeError(f"unsupported scene object {type(obj)!r}")
+
+    table = mats.build()
+    packed = atlas.build()
+
+    def f32(rows, width=None, fill=0.0):
+        if rows:
+            a = np.asarray(rows, np.float32)
+        else:
+            a = np.zeros((0, width) if width else (0,), np.float32)
+        return jnp.asarray(_pad_rows(a, 1, fill))
+
+    def i32(rows):
+        a = np.asarray(rows, np.int32) if rows else np.zeros((0,), np.int32)
+        return jnp.asarray(_pad_rows(a, 1, 0).astype(np.int32))
+
+    return SceneData(
+        mat_type=jnp.asarray(table["mat_type"]),
+        mat_albedo=jnp.asarray(table["mat_albedo"]),
+        mat_emission=jnp.asarray(table["mat_emission"]),
+        mat_roughness=jnp.asarray(table["mat_roughness"]),
+        mat_metallic=jnp.asarray(table["mat_metallic"]),
+        mat_ior=jnp.asarray(table["mat_ior"]),
+        sph_center=f32(sph_center, 3, 1e30),
+        sph_radius=f32(sph_radius, None, 0.0),
+        sph_mat=i32(sph_mat),
+        pln_point=f32(pln_point, 3, 0.0),
+        pln_normal=f32(pln_normal, 3, 0.0),
+        pln_mat=i32(pln_mat),
+        tri_a=f32(tri_a, 3, 0.0),
+        tri_b=f32(tri_b, 3, 0.0),
+        tri_c=f32(tri_c, 3, 0.0),
+        tri_mat=i32(tri_mat),
+        vol_center=f32(vol_center, 3, 1e30),
+        vol_radius=f32(vol_radius, None, 0.0),
+        vol_density=f32(vol_density, None, 1.0),
+        vol_mat=i32(vol_mat),
+        meshes=tuple(mesh_blocks),
+        tex_pixels=jnp.asarray(packed.pixels),
+        tex_offset=jnp.asarray(packed.offset),
+        tex_width=jnp.asarray(packed.width),
+        tex_height=jnp.asarray(packed.height),
+        point_light_pos=jnp.asarray(scene.point_light_pos, jnp.float32),
+        ambient=jnp.asarray(scene.ambient, jnp.float32),
+        n_spheres=len(sph_center),
+        n_planes=len(pln_point),
+        n_tris=len(tri_a),
+        n_volumes=len(vol_center),
+    )
+
+
+def _compile_mesh(
+    sm: StaticMesh, mats: MaterialTableBuilder, atlas: TextureAtlasBuilder, leaf_size: int
+) -> MeshBlock:
+    mesh = sm.mesh
+    idx = mesh.indices  # (NT, 3)
+    verts = mesh.positions[idx]  # (NT, 3, 3)
+    normals = mesh.normals[idx]  # (NT, 3, 3)
+    uvs = mesh.texcoords[idx]  # (NT, 3, 2)
+
+    # Per-triangle tangent approximation (geometry.rs:245-250):
+    # t = ((v3-v1)(p2-p1) - (v2-v1)(p3-p1)) / ((u2-u1)(v3-v1) - (v2-v1)(u3-u1))
+    p1, p2, p3 = verts[:, 0], verts[:, 1], verts[:, 2]
+    u1, u2, u3 = uvs[:, 0, 0], uvs[:, 1, 0], uvs[:, 2, 0]
+    v1, v2, v3 = uvs[:, 0, 1], uvs[:, 1, 1], uvs[:, 2, 1]
+    denom = (u2 - u1) * (v3 - v1) - (v2 - v1) * (u3 - u1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tangent = (
+            (v3 - v1)[:, None] * (p2 - p1) - (v2 - v1)[:, None] * (p3 - p1)
+        ) / denom[:, None]
+
+    flat = bvhlib.build_bvh(verts, leaf_size=leaf_size)
+    order = flat.tri_order
+
+    tex_ids = []
+    for img in sm.textures:
+        tex_ids.append(atlas.add(img) if img is not None else -1)
+
+    mat_id = mats.add(sm.material) if sm.material is not None else -1
+
+    return MeshBlock(
+        tri_verts=jnp.asarray(verts[order]),
+        tri_normals=jnp.asarray(normals[order]),
+        tri_uvs=jnp.asarray(uvs[order]),
+        tri_tangent=jnp.asarray(tangent[order].astype(np.float32)),
+        bounds_min=jnp.asarray(flat.bounds_min),
+        bounds_max=jnp.asarray(flat.bounds_max),
+        skip=jnp.asarray(flat.skip),
+        leaf_start=jnp.asarray(flat.leaf_start),
+        leaf_count=jnp.asarray(flat.leaf_count),
+        transform=jnp.asarray(sm.transform),
+        inv_transform=jnp.asarray(sm.inv_transform),
+        normal_mat=jnp.asarray(sm.inv_transform[:3, :3].T.copy()),
+        mat_id=mat_id,
+        tex_ids=tuple(tex_ids),
+        leaf_size=leaf_size,
+        has_uv=mesh.has_texcoords,
+    )

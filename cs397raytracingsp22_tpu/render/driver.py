@@ -1,0 +1,251 @@
+"""Render driver: chunked megabatch rendering, accumulation, image I/O.
+
+Replaces the reference's rayon row loop (tracing.rs:221-263) with a
+jit-compiled chunk kernel: pixels are processed in fixed-size chunks
+(static shapes → one compile), each chunk generating pixel×spp rays,
+integrating them with the wavefront loop, and averaging samples. spp can
+additionally be chunked for memory control and checkpointed accumulation
+(SURVEY.md §5 checkpoint/resume — the reference loses a render killed at
+99%; we persist the running HDR accumulator).
+
+All chunking is invisible to the image: RNG is content-keyed, so any
+(pixel_chunk, spp_chunk, device count) produces bit-identical output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cs397raytracingsp22_tpu.models.camera import Camera, ShadingMode
+from cs397raytracingsp22_tpu.models.scene import Scene, SceneData
+from cs397raytracingsp22_tpu.ops import tonemap as tonemap_ops
+from cs397raytracingsp22_tpu.render import integrator
+from cs397raytracingsp22_tpu.utils import rng as rnglib
+
+
+@dataclasses.dataclass
+class RenderStats:
+    """Per-render metrics (SURVEY.md §5 observability)."""
+
+    width: int = 0
+    height: int = 0
+    spp: int = 0
+    path_depth: int = 0
+    wall_seconds: float = 0.0
+    compile_seconds: float = 0.0
+    primary_rays: int = 0
+    path_segments: float = 0.0
+    device_count: int = 1
+
+    @property
+    def primary_mrays_per_sec(self) -> float:
+        t = self.wall_seconds or 1e-9
+        return self.primary_rays / t / 1e6
+
+    @property
+    def segment_mrays_per_sec(self) -> float:
+        t = self.wall_seconds or 1e-9
+        return self.path_segments / t / 1e6
+
+    def summary(self) -> str:
+        return (
+            f"{self.width}x{self.height} @ {self.spp}spp depth {self.path_depth} | "
+            f"{self.wall_seconds:.2f}s wall ({self.compile_seconds:.2f}s compile) | "
+            f"{self.primary_mrays_per_sec:.1f} Mrays/s primary, "
+            f"{self.segment_mrays_per_sec:.1f} Mrays/s segments | "
+            f"{self.device_count} device(s)"
+        )
+
+
+@partial(jax.jit, static_argnames=("camera", "spp", "n_chains"))
+def render_chunk(
+    scene: SceneData,
+    camera: Camera,
+    pixel_ids: jnp.ndarray,
+    base_key: jax.Array,
+    sample_offset: jnp.ndarray,
+    spp: int,
+    n_chains: int = 1,
+):
+    """Render one pixel chunk at `spp` samples: (N_px, 3) mean radiance.
+
+    `n_chains` replicates each camera sample into independent bounce
+    chains (the path_samples analogue — see integrator docstring).
+    Returns (radiance_sum, segments): per-pixel SUM over this chunk's
+    samples (caller accumulates and divides) and traced segment count.
+    """
+    n_px = pixel_ids.shape[0]
+    o, d = camera.generate_rays(base_key, pixel_ids, spp=spp, sample_offset=sample_offset)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+
+    # Chain uids: distinct bounce RNG per replicated chain.
+    sample_ids = sample_offset + jnp.arange(spp, dtype=jnp.int32)
+    uids = pixel_ids[:, None] * jnp.int32(camera.aa_sample_count) + sample_ids[None, :]
+    uids = uids.reshape(-1)
+    if n_chains > 1:
+        o = jnp.repeat(o, n_chains, axis=0)
+        d = jnp.repeat(d, n_chains, axis=0)
+        uids = uids[:, None] * jnp.int32(n_chains) + jnp.arange(
+            n_chains, dtype=jnp.int32
+        )
+        uids = uids.reshape(-1)
+    keys = rnglib.ray_keys(base_key, uids)
+
+    if camera.shading_mode is ShadingMode.PHONG:
+        radiance = integrator.phong_trace(
+            scene, o, d, keys, camera.eyepoint, camera.max_trace_dist
+        )
+        segments = jnp.asarray(float(o.shape[0]), jnp.float32)
+    else:
+        radiance, segments = integrator.path_trace(
+            scene, o, d, keys, camera.path_depth, camera.max_trace_dist
+        )
+
+    radiance = radiance.reshape(n_px, spp * n_chains, 3)
+    return jnp.sum(radiance, axis=1) / n_chains, segments
+
+
+def render_to_image(
+    scene: Scene,
+    seed: int = 0,
+    pixel_chunk: Optional[int] = None,
+    spp_chunk: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    verbose: bool = True,
+    scene_data: Optional[SceneData] = None,
+) -> tuple[np.ndarray, RenderStats]:
+    """Full render: returns ((H, W, 3) uint8 image, RenderStats).
+
+    Equivalent surface to Scene::render_to_image (tracing.rs:221-263):
+    generate AA rays per pixel, shade by camera.shading_mode, average,
+    channel-bleed + gamma + quantize.
+
+    checkpoint_path: if set, the running HDR accumulator is persisted
+    after every spp chunk and restored on restart, making long renders
+    resumable and previewable.
+    """
+    cam = scene.camera
+    w, h = cam.screen_width, cam.screen_height
+    n_px_total = w * h
+    spp = cam.aa_sample_count
+    n_chains = max(1, cam.path_samples)
+
+    if scene_data is None:
+        scene_data = scene.compile()
+
+    if pixel_chunk is None:
+        # Budget ~2M chains per device batch.
+        per_px_rays = max(1, spp * n_chains)
+        pixel_chunk = max(1, min(n_px_total, (2 << 20) // per_px_rays))
+    if spp_chunk is None:
+        spp_chunk = spp
+    spp_chunk = min(spp_chunk, spp)
+
+    base_key = jax.random.key(seed)
+
+    if checkpoint_path and not checkpoint_path.endswith(".npz"):
+        checkpoint_path = checkpoint_path + ".npz"
+
+    accum = np.zeros((n_px_total, 3), np.float64)
+    spp_done = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ckpt = np.load(checkpoint_path, allow_pickle=False)
+        if ckpt["accum"].shape == accum.shape and int(ckpt["seed"]) == seed:
+            accum = ckpt["accum"].astype(np.float64)
+            spp_done = int(ckpt["spp_done"])
+            if verbose:
+                print(f"[render] resuming from {checkpoint_path} at {spp_done} spp")
+
+    stats = RenderStats(
+        width=w,
+        height=h,
+        spp=spp,
+        path_depth=cam.path_depth,
+        device_count=1,
+    )
+
+    t_start = time.perf_counter()
+    first_chunk_done = False
+    total_segments = 0.0
+
+    all_pixel_ids = np.arange(n_px_total, dtype=np.int32)
+    n_pixel_chunks = (n_px_total + pixel_chunk - 1) // pixel_chunk
+
+    for s0 in range(spp_done, spp, spp_chunk):
+        s_count = min(spp_chunk, spp - s0)
+        for ci in range(n_pixel_chunks):
+            ids = all_pixel_ids[ci * pixel_chunk : (ci + 1) * pixel_chunk]
+            n_valid = ids.shape[0]
+            if n_valid < pixel_chunk:  # pad to static shape
+                ids = np.concatenate(
+                    [ids, np.zeros(pixel_chunk - n_valid, np.int32)]
+                )
+            t0 = time.perf_counter()
+            rad_sum, segs = render_chunk(
+                scene_data,
+                cam,
+                jnp.asarray(ids),
+                base_key,
+                jnp.int32(s0),
+                s_count,
+                n_chains,
+            )
+            rad_sum = np.asarray(jax.block_until_ready(rad_sum), np.float64)
+            if not first_chunk_done:
+                stats.compile_seconds = time.perf_counter() - t0
+                first_chunk_done = True
+            total_segments += float(segs)
+            accum[ci * pixel_chunk : ci * pixel_chunk + n_valid] += rad_sum[:n_valid]
+            if verbose:
+                done_frac = (
+                    (s0 - spp_done + s_count) * (ci + 1) / n_pixel_chunks
+                    + 0.0
+                ) / max(1, spp - spp_done)
+                print(
+                    f"\r[render] spp {s0 + s_count}/{spp}, chunk "
+                    f"{ci + 1}/{n_pixel_chunks} ({100 * min(1.0, done_frac):.0f}%)",
+                    end="",
+                    flush=True,
+                )
+        if checkpoint_path:
+            np.savez(
+                checkpoint_path,
+                accum=accum,
+                spp_done=np.int64(s0 + s_count),
+                seed=np.int64(seed),
+            )
+    if verbose:
+        print()
+
+    stats.wall_seconds = time.perf_counter() - t_start
+    stats.primary_rays = n_px_total * (spp - spp_done) * n_chains
+    stats.path_segments = total_segments
+
+    mean = (accum / max(spp, 1)).astype(np.float32).reshape(h, w, 3)
+    img = np.asarray(tonemap_ops.tonemap(jnp.asarray(mean), cam.gamma))
+    if verbose:
+        print("[render] " + stats.summary())
+    return img, stats
+
+
+def save_png(img: np.ndarray, path: str) -> None:
+    """Write an (H, W, 3) uint8 image as PNG (reference tracing.rs:546)."""
+    from PIL import Image
+
+    Image.fromarray(img, mode="RGB").save(path, format="PNG")
+
+
+def render_and_save(scene: Scene, path: str = "render.png", **kw):
+    img, stats = render_to_image(scene, **kw)
+    save_png(img, path)
+    return img, stats

@@ -1,0 +1,172 @@
+"""Light-transport integrators over ray megabatches.
+
+The reference's recursive `shade_ray` (tracing.rs:300-324) becomes an
+iterative wavefront: a `lax.fori_loop` over bounce depth carrying
+(origin, direction, throughput, radiance, alive) SoA buffers for the whole
+batch. With path_samples=1 the recursion is a linear chain, so the loop
+computes exactly the same estimator:
+
+    radiance = Σ_k  (Π_{j<k} dot_j·brdf_j/pdf_j) · emission_k
+
+with the depth cutoff returning the background (black) — i.e. rays still
+alive after `path_depth` bounces contribute nothing further, and misses
+add background·throughput then die.
+
+path_samples > 1 (branching at every recursion level, tracing.rs:310-318)
+is supported by chain replication in the driver: each camera ray spawns
+`path_samples` independent linear chains, which has the same expectation
+as the reference's branching tree (Monte-Carlo estimators differ only in
+variance allocation). The reference itself documents values > 1 as
+unnecessary (tracing.rs:146).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cs397raytracingsp22_tpu.models.scene import SceneData
+from cs397raytracingsp22_tpu.ops import bsdf
+from cs397raytracingsp22_tpu.ops.intersect import intersect_scene
+from cs397raytracingsp22_tpu.utils import rng as rnglib
+from cs397raytracingsp22_tpu.utils import sampling
+from cs397raytracingsp22_tpu.utils import vecmath as vm
+
+# Path-trace ray epsilon (tracing.rs:305) and phong shadow offset
+# (tracing.rs:289).
+PATH_T_MIN = 0.001
+PHONG_SHADOW_OFFSET = 0.01
+
+
+def background_color(d: jnp.ndarray) -> jnp.ndarray:
+    """Black void (tracing.rs:266-274)."""
+    return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
+
+
+def _bounce_draws(scene: SceneData, ray_keys: jax.Array, site):
+    """Per-ray draws for one bounce: ball vector, branch uniform, volume
+    uniforms. One batched call keeps threefry cost minimal."""
+    keys = rnglib.site_keys(ray_keys, site)
+    n_vol = scene.vol_center.shape[0]
+    u = rnglib.uniform(keys, 4 + n_vol)
+    ball = sampling.ball_vec_from_uniform(u[:, 0:3])
+    return ball, u[:, 3], u[:, 4:]
+
+
+def path_trace(
+    scene: SceneData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    ray_keys: jax.Array,
+    path_depth: int,
+    max_trace_dist: float,
+):
+    """Trace N ray chains to completion.
+
+    Args:
+      o, d: (N, 3) primary rays.
+      ray_keys: (N,) per-chain PRNG keys (content-derived).
+      path_depth: bounce budget (static loop bound).
+      max_trace_dist: scene far limit.
+
+    Returns:
+      (radiance, segments): (N, 3) estimated radiance per chain and the
+      total number of path segments actually traced (for Mrays/s metrics).
+    """
+    n = o.shape[0]
+    init = (
+        o,
+        d,
+        jnp.ones((n, 3), jnp.float32),  # throughput
+        jnp.zeros((n, 3), jnp.float32),  # radiance
+        jnp.ones((n,), bool),  # alive
+        # float accumulator: segment counts exceed int32 range on big
+        # renders and x64 is disabled.
+        jnp.zeros((), jnp.float32),
+    )
+
+    def bounce(depth, state):
+        o, d, thr, rad, alive, segs = state
+        ball, u_choice, u_vol = _bounce_draws(
+            scene, ray_keys, rnglib.SITE_BOUNCE0 + depth
+        )
+        hit = intersect_scene(scene, o, d, PATH_T_MIN, max_trace_dist, u_vol)
+
+        live_hit = alive & hit.valid
+        live_miss = alive & ~hit.valid
+
+        # Miss: background·throughput, then die (tracing.rs:306).
+        rad = rad + jnp.where(
+            live_miss[:, None], thr * background_color(d), 0.0
+        )
+
+        # Hit: emission + scatter (tracing.rs:307-322).
+        new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
+        # dot_term: |new_dir · n| clamped to [0,1]; forced to 1 for
+        # zero-normal volume hits (tracing.rs:313).
+        has_normal = vm.magnitude2(hit.normal) > 0.0
+        dot_term = jnp.where(
+            has_normal,
+            jnp.clip(jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0),
+            1.0,
+        )
+        factor = (dot_term / pdf)[:, None] * att
+
+        rad = rad + jnp.where(live_hit[:, None], thr * hit.emission, 0.0)
+        thr = jnp.where(live_hit[:, None], thr * factor, thr)
+        o = jnp.where(live_hit[:, None], hit.point, o)
+        d = jnp.where(live_hit[:, None], new_dir, d)
+        segs = segs + jnp.sum(alive.astype(jnp.float32))
+        return o, d, thr, rad, live_hit, segs
+
+    _, _, _, radiance, _, segments = jax.lax.fori_loop(
+        0, path_depth, bounce, init
+    )
+    return radiance, segments
+
+
+def phong_trace(
+    scene: SceneData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    ray_keys: jax.Array,
+    eyepoint,
+    max_trace_dist: float,
+):
+    """Blinn-ish Phong debug shading with hard shadows (tracing.rs:277-297).
+
+    ambient + diffuse·albedo + 0.4·(r·v)^40, one point light, shadow rays
+    offset 0.01·n with 0.3 occlusion weight. The "albedo" is the
+    attenuation returned by the material's scatter — stochastic for
+    ParameterizedMaterial, exactly like the reference's call at
+    tracing.rs:294.
+    """
+    ball, u_choice, u_vol = _bounce_draws(scene, ray_keys, rnglib.SITE_BOUNCE0)
+    hit = intersect_scene(scene, o, d, 0.0, max_trace_dist, u_vol)
+
+    light = scene.point_light_pos
+    to_light = vm.normalize(light - hit.point, eps=1e-30)
+    to_camera = vm.normalize(
+        jnp.asarray(eyepoint, jnp.float32) - hit.point, eps=1e-30
+    )
+    n = hit.normal
+    reflected = -to_light + 2.0 * vm.vdot(to_light, n) * n
+    diffuse_w = jnp.clip(jnp.sum(n * to_light, axis=-1), 0.0, 1.0)
+    specular_w = jnp.clip(jnp.sum(to_camera * reflected, axis=-1), 0.0, 1.0) ** 40.0
+
+    # Shadow ray (tracing.rs:289-293): note the occlusion test compares the
+    # shadow hit's distance against the light distance measured from the
+    # SHADOW hit's own hitpoint (the reference rebinds `hit` in the inner
+    # match) — replicated literally.
+    shadow_o = hit.point + PHONG_SHADOW_OFFSET * n
+    light_dist = vm.magnitude(light - hit.point)
+    _, _, u_vol2 = _bounce_draws(scene, ray_keys, rnglib.SITE_BOUNCE0 + 1)
+    sh = intersect_scene(scene, shadow_o, to_light, 0.0, light_dist, u_vol2)
+    far_enough = sh.t * sh.t > vm.magnitude2(light - sh.point)
+    shadow_w = jnp.where(~sh.valid | far_enough, 1.0, 0.3)
+
+    _, att, _ = bsdf.scatter(hit, d, ball, u_choice)
+    color = shadow_w[:, None] * (
+        scene.ambient + diffuse_w[:, None] * att + specular_w[:, None] * 0.4
+    )
+    return jnp.where(hit.valid[:, None], color, background_color(d))

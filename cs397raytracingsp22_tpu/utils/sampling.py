@@ -1,0 +1,96 @@
+"""Counter-based random sampling.
+
+The reference draws from an ambient `rand::thread_rng()` everywhere
+(tracing.rs:72, materials.rs:84, geometry.rs:517), making renders
+non-deterministic. Here every draw comes from jax.random (threefry) keyed
+by (seed, bounce, draw-site), so a render is a pure function of its seed —
+the TPU-native replacement for ambient RNG.
+
+The reference's rejection-sampled `rand_sphere_vec`/`rand_disk_vec`
+(tracing.rs:70-89) have data-dependent trip counts that cannot be jitted;
+we use exact analytic samplers with the *same distributions* (uniform in
+the unit ball / unit disk, both UNNORMALIZED — the raw ball vector's length
+matters downstream: the integrator's dot_term uses the unnormalized scatter
+direction, see materials.rs:35 + tracing.rs:313).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cs397raytracingsp22_tpu.utils import vecmath as vm
+
+TWO_PI = 6.283185307179586
+
+
+def ball_vec(key: jax.Array, shape: tuple[int, ...]) -> jnp.ndarray:
+    """Uniform random vectors in the unit ball, shape (*shape, 3).
+
+    Same distribution as the reference's rejection sampler
+    `rand_sphere_vec` (tracing.rs:71-79): direction uniform on the sphere,
+    radius r with density ∝ r², vector NOT normalized.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    z = jax.random.uniform(k1, shape, minval=-1.0, maxval=1.0)
+    phi = jax.random.uniform(k2, shape, minval=0.0, maxval=TWO_PI)
+    r = jax.random.uniform(k3, shape) ** (1.0 / 3.0)
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return r[..., None] * jnp.stack(
+        [s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1
+    )
+
+
+def disk_vec(key: jax.Array, shape: tuple[int, ...]) -> jnp.ndarray:
+    """Uniform random vectors in the unit xy-disk (z=0), shape (*shape, 3).
+
+    Same distribution as `rand_disk_vec` (tracing.rs:81-89); unnormalized.
+    """
+    k1, k2 = jax.random.split(key)
+    theta = jax.random.uniform(k1, shape, minval=0.0, maxval=TWO_PI)
+    r = jnp.sqrt(jax.random.uniform(k2, shape))
+    zeros = jnp.zeros(shape)
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), zeros], axis=-1)
+
+
+def ball_vec_from_uniform(u: jnp.ndarray) -> jnp.ndarray:
+    """Map (..., 3) uniforms in [0,1) to uniform unit-ball vectors.
+
+    Used when the caller already holds per-ray uniforms (e.g. drawn in one
+    batched call per bounce).
+    """
+    z = 2.0 * u[..., 0] - 1.0
+    phi = TWO_PI * u[..., 1]
+    r = u[..., 2] ** (1.0 / 3.0)
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return r[..., None] * jnp.stack(
+        [s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1
+    )
+
+
+def disk_vec_from_uniform(u: jnp.ndarray) -> jnp.ndarray:
+    """Map (..., 2) uniforms in [0,1) to uniform unit-disk vectors (z=0)."""
+    theta = TWO_PI * u[..., 0]
+    r = jnp.sqrt(u[..., 1])
+    return jnp.stack(
+        [r * jnp.cos(theta), r * jnp.sin(theta), jnp.zeros_like(r)], axis=-1
+    )
+
+
+def hemisphere_vec(ball: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-in-half-ball vector about `normal`, built from a ball sample.
+
+    The reference's `sample_hemisphere` (materials.rs:171-178) takes a ball
+    vector, folds it into the +y half-ball, and rotates y→normal. Folding
+    the ball vector across the plane ⟂ normal produces the identical
+    distribution (uniform in the half-ball over `normal`) without a
+    rotation — cheaper and NaN-free for masked lanes with zero normals.
+    Returns the UNNORMALIZED vector; pdf of the direction is 1/(2π).
+    """
+    d = vm.vdot(ball, normal)
+    return jnp.where(d < 0.0, ball - 2.0 * d * normal, ball)
+
+
+def hemisphere_pdf() -> float:
+    """Directional pdf of hemisphere_vec: 1/(2π) (materials.rs:177)."""
+    return 1.0 / TWO_PI
