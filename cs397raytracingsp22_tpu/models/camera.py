@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -108,6 +109,11 @@ class Camera:
         """
         if spp is None:
             spp = self.aa_sample_count
+        return _generate_rays_jit(self, base_key, pixel_ids, spp, sample_offset)
+
+    def _generate_rays_impl(
+        self, base_key, pixel_ids, spp: int, sample_offset
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n_px = pixel_ids.shape[0]
         x = (pixel_ids % self.screen_width).astype(jnp.float32)
         y = (pixel_ids // self.screen_width).astype(jnp.float32)
@@ -162,7 +168,7 @@ class Camera:
             # (tracing.rs:200,204).
             origins = jnp.stack([cx, cy, jnp.zeros_like(cx)], axis=-1)
             view = jnp.asarray(self.view_dir, jnp.float32)
-            d = rotation @ view
+            d = vm.apply_mat3(rotation, view)
             directions = jnp.broadcast_to(d, origins.shape)
             return origins, directions
 
@@ -172,10 +178,15 @@ class Camera:
         disk = sampling.disk_vec_from_uniform(rnglib.uniform(disk_keys, 2))
         lens_origin = self.lens_radius * disk.reshape(n_px, spp, 3)
         focus_center = vm.normalize(center) * self.focus_dist
-        origins = jnp.asarray(self.eyepoint, jnp.float32) + jnp.einsum(
-            "ij,nsj->nsi", rotation, lens_origin
+        origins = jnp.asarray(self.eyepoint, jnp.float32) + vm.apply_mat3(
+            rotation, lens_origin
         )
-        directions = jnp.einsum(
-            "ij,nsj->nsi", rotation, vm.normalize(focus_center - lens_origin)
+        directions = vm.apply_mat3(
+            rotation, vm.normalize(focus_center - lens_origin)
         )
         return origins, directions
+
+
+@partial(jax.jit, static_argnames=("camera", "spp"))
+def _generate_rays_jit(camera: "Camera", base_key, pixel_ids, spp, sample_offset):
+    return camera._generate_rays_impl(base_key, pixel_ids, spp, sample_offset)

@@ -178,12 +178,13 @@ def intersect_volumes(scene: SceneData, o, d, t_min, t_max, u_vol):
 
 
 def _transform_point(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """(4,4) @ (N,3) homogeneous point transform."""
-    return p @ m[:3, :3].T + m[:3, 3]
+    """(4,4) @ (N,3) homogeneous point transform (exact VPU arithmetic —
+    see vecmath.apply_mat3 for why not a matmul)."""
+    return vm.apply_mat4_point(m, p)
 
 
 def _transform_vector(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    return v @ m[:3, :3].T
+    return vm.apply_mat4_vector(m, v)
 
 
 def sample_texture(scene: SceneData, tex_id: int, uv: jnp.ndarray) -> jnp.ndarray:

@@ -93,6 +93,36 @@ def lerpvec(a: jnp.ndarray, b: jnp.ndarray, k) -> jnp.ndarray:
     return (1.0 - k) * a + k * b
 
 
+def apply_mat3(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) matrix times batched (..., 3) vectors: result = m @ v.
+
+    Written as explicit fused multiply-adds instead of dot_general: tiny
+    3-wide contractions belong on the VPU, and XLA's default-precision
+    matmul path would run them in bf16 on the MXU (~0.4% error on ray
+    directions/normals — unacceptable).
+    """
+    return (
+        m[:, 0] * v[..., 0:1] + m[:, 1] * v[..., 1:2] + m[:, 2] * v[..., 2:3]
+    )
+
+
+def apply_mat4_point(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """(4,4) homogeneous transform of batched (..., 3) points (w=1)."""
+    return (
+        m[:3, 0] * p[..., 0:1]
+        + m[:3, 1] * p[..., 1:2]
+        + m[:3, 2] * p[..., 2:3]
+        + m[:3, 3]
+    )
+
+
+def apply_mat4_vector(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(4,4) transform of batched (..., 3) direction vectors (w=0)."""
+    return (
+        m[:3, 0] * v[..., 0:1] + m[:3, 1] * v[..., 1:2] + m[:3, 2] * v[..., 2:3]
+    )
+
+
 def signum(x: jnp.ndarray) -> jnp.ndarray:
     """Rust f32::signum — returns +1.0 for x >= +0.0 and -1.0 for x < 0.
 

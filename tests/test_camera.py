@@ -33,8 +33,10 @@ def test_center_pixel_ray_points_forward():
     o, d = cam.generate_rays(jax.random.key(0), pid)
     d_mean = np.asarray(d[0]).mean(axis=0)
     d_mean /= np.linalg.norm(d_mean)
-    # center pixel looks straight down -z
-    np.testing.assert_allclose(d_mean, [0.0, 0.0, -1.0], atol=0.02)
+    # center pixel looks straight down -z, modulo the reference's
+    # deliberate jitter bias of -ps/(2√n)-ps/(2n) (tracing.rs:172-173)
+    # and finite-sample noise.
+    np.testing.assert_allclose(d_mean, [0.0, 0.0, -1.0], atol=0.06)
     np.testing.assert_allclose(np.asarray(o[0]), [[0.0, 2.0, 5.5]] * 100, atol=1e-6)
 
 
