@@ -1,0 +1,118 @@
+"""Benchmark: Cornell box + teapot BVH scene on real TPU hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Metric: Mrays/sec/chip (path segments actually traced per second) on the
+BASELINE.json north-star scene (Cornell box 512² + teapot mesh under BVH),
+steady-state (post-compile). vs_baseline is value/500 — the ≥500
+Mrays/sec/chip target from BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_bench_scene(width=512, height=512, spp=64, path_depth=8):
+    """Cornell box walls + teapot mesh + mixed-material spheres."""
+    from cs397raytracingsp22_tpu import (
+        Camera, Dielectric, Lambertian, Metal, Plane, Scene, Sphere, Triangle,
+    )
+    from cs397raytracingsp22_tpu.models import transform as tf
+    from cs397raytracingsp22_tpu.models.geometry import StaticMesh
+
+    white = Lambertian(albedo=(0.73, 0.73, 0.73))
+    red = Lambertian(albedo=(0.65, 0.05, 0.05))
+    green = Lambertian(albedo=(0.12, 0.45, 0.15))
+    light = Lambertian(albedo=(0.0, 0.0, 0.0), emission=(15.0, 15.0, 15.0))
+
+    objects = [
+        Plane(point=(0, 0, 0), normal=(0, 1, 0), material=white),
+        Plane(point=(0, 5, 0), normal=(0, -1, 0), material=white),
+        Plane(point=(0, 0, -2.5), normal=(0, 0, 1), material=white),
+        Plane(point=(-2.5, 0, 0), normal=(1, 0, 0), material=red),
+        Plane(point=(2.5, 0, 0), normal=(-1, 0, 0), material=green),
+        Sphere(center=(1.4, 0.7, 0.6), radius=0.7, material=Metal(albedo=(0.8, 0.8, 0.9), roughness=0.05)),
+        Sphere(center=(-1.6, 0.6, 1.2), radius=0.6, material=Dielectric(idx_of_refraction=1.5)),
+        Triangle(a=(-1.2, 4.99, -1.5), b=(1.2, 4.99, -1.5), c=(1.2, 4.99, 0.5), material=light),
+        Triangle(a=(-1.2, 4.99, -1.5), b=(-1.2, 4.99, 0.5), c=(1.2, 4.99, 0.5), material=light),
+    ]
+    teapot_path = os.environ.get(
+        "RT_TEAPOT", "/root/reference/obj/teapot.obj"
+    )
+    if os.path.exists(teapot_path):
+        objects.append(
+            StaticMesh.load_from_file(
+                teapot_path,
+                material=Lambertian(albedo=(0.7, 0.45, 0.2)),
+                transform=tf.translate(0.0, 0.75, -0.6) @ tf.rotate_x(-90.0) @ tf.scale(1.5),
+            )
+        )
+
+    camera = Camera(
+        eyepoint=(0.0, 2.5, 7.5),
+        view_dir=(0.0, 0.0, -1.0),
+        up=(0.0, 1.0, 0.0),
+        focal_length=0.8,
+        focus_dist=5.0,
+        screen_width=width,
+        screen_height=height,
+        aa_sample_count=spp,
+        path_depth=path_depth,
+        max_trace_dist=100.0,
+        gamma=2.0,
+    )
+    return Scene(camera=camera, objects=objects)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cs397raytracingsp22_tpu.render.driver import render_chunk
+
+    spp = int(os.environ.get("BENCH_SPP", "64"))
+    width = height = int(os.environ.get("BENCH_RES", "512"))
+    scene = build_bench_scene(width, height, spp=spp)
+    data = scene.compile()
+    cam = scene.camera
+
+    n_px = width * height
+    # One chunk sized to fill the chip.
+    chunk_px = min(n_px, max(1, (1 << 21) // spp))
+    pixel_ids = jnp.arange(chunk_px, dtype=jnp.int32)
+    key = jax.random.key(0)
+
+    # Warmup/compile.
+    rad, segs = render_chunk(data, cam, pixel_ids, key, jnp.int32(0), spp, 1)
+    jax.block_until_ready(rad)
+
+    # Timed steady-state passes over the full image.
+    n_chunks = (n_px + chunk_px - 1) // chunk_px
+    t0 = time.perf_counter()
+    total_segments = 0.0
+    for ci in range(n_chunks):
+        ids = (jnp.arange(chunk_px, dtype=jnp.int32) + ci * chunk_px) % n_px
+        rad, segs = render_chunk(data, cam, ids, key, jnp.int32(0), spp, 1)
+        total_segments += float(segs)
+    jax.block_until_ready(rad)
+    wall = time.perf_counter() - t0
+
+    mrays = total_segments / wall / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays_per_sec_per_chip_cornell_teapot",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 500.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

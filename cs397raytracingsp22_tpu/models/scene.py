@@ -36,6 +36,7 @@ SceneObject = Union[Sphere, Triangle, Plane, ConvexVolume, StaticMesh]
     jax.tree_util.register_dataclass,
     data_fields=[
         "tri_verts",
+        "tri_table",
         "tri_normals",
         "tri_uvs",
         "tri_tangent",
@@ -60,6 +61,7 @@ class MeshBlock:
     """
 
     tri_verts: jnp.ndarray  # (NT, 3, 3) object-space corners
+    tri_table: jnp.ndarray  # (NT, 9) [a, b-a, c-a] rows for the scan kernel
     tri_normals: jnp.ndarray  # (NT, 3, 3) per-corner normals
     tri_uvs: jnp.ndarray  # (NT, 3, 2) per-corner texcoords
     tri_tangent: jnp.ndarray  # (NT, 3) per-triangle tangent approx
@@ -301,8 +303,14 @@ def _compile_mesh(
 
     mat_id = mats.add(sm.material) if sm.material is not None else -1
 
+    rv = verts[order]
+    tri_table = np.concatenate(
+        [rv[:, 0], rv[:, 1] - rv[:, 0], rv[:, 2] - rv[:, 0]], axis=1
+    ).astype(np.float32)
+
     return MeshBlock(
         tri_verts=jnp.asarray(verts[order]),
+        tri_table=jnp.asarray(tri_table),
         tri_normals=jnp.asarray(normals[order]),
         tri_uvs=jnp.asarray(uvs[order]),
         tri_tangent=jnp.asarray(tangent[order].astype(np.float32)),

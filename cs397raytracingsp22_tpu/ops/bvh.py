@@ -43,14 +43,31 @@ class FlatBVH:
     tri_order: np.ndarray  # (NT,) int32 — reordered position → original tri id
 
 
-def build_bvh(tri_verts: np.ndarray, leaf_size: int = 4) -> FlatBVH:
+def build_bvh(tri_verts: np.ndarray, leaf_size: int = 4, use_native: bool = True) -> FlatBVH:
     """Build a threaded flat BVH over (NT, 3, 3) triangle vertices.
 
     Median split on the largest centroid-extent axis (deterministic,
     replacing the reference's random-axis no-op sort, geometry.rs:199-207).
+    Uses the C++ builder (utils/native.py) when available; this Python
+    version is the specification and fallback. The two may order
+    equal-centroid triangles differently — BVH structure does not affect
+    hit results (nearest hit is order-independent).
     """
     nt = tri_verts.shape[0]
     assert nt > 0, "cannot build BVH over empty mesh"
+    if use_native:
+        from cs397raytracingsp22_tpu.utils import native
+
+        raw = native.bvh_build(tri_verts, leaf_size) if native.available() else None
+        if raw is not None:
+            return FlatBVH(
+                bounds_min=raw["bounds_min"],
+                bounds_max=raw["bounds_max"],
+                skip=raw["skip"],
+                leaf_start=raw["leaf_start"],
+                leaf_count=raw["leaf_count"],
+                tri_order=raw["tri_order"],
+            )
     tmin = tri_verts.min(axis=1)  # (NT, 3)
     tmax = tri_verts.max(axis=1)
     centroids = 0.5 * (tmin + tmax)
@@ -200,11 +217,11 @@ def traverse(
     """
     n = o.shape[0]
     nn = bounds_min.shape[0]
-    big = jnp.asarray(t_max, jnp.float32)
 
     state = (
         jnp.zeros((n,), jnp.int32),  # node
-        jnp.full((n,), big, jnp.float32),  # best_t (= running t_max)
+        # best_t doubles as the running t_max (broadcast per-ray bounds)
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)).astype(jnp.float32),
         jnp.full((n,), -1, jnp.int32),  # best_tri
         jnp.zeros((n,), jnp.float32),  # best_u
         jnp.zeros((n,), jnp.float32),  # best_v
@@ -245,6 +262,67 @@ def traverse(
         return node, best_t, best_tri, best_u, best_v
 
     _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(cond, body, state)
+    hit = best_tri >= 0
+    return hit, best_t, best_tri, best_u, best_v
+
+
+def intersect_tris_scan(o, d, tri_verts, t_min, t_max, chunk: int = 256):
+    """Dense chunked all-triangles intersection: `lax.scan` over triangle
+    chunks keeping a running nearest hit.
+
+    THE fast path for small/medium meshes on TPU: the (N, chunk)
+    Möller–Trumbore test is pure VPU elementwise math with zero gathers,
+    while BVH traversal is gather-bound and lockstep-divergent. At
+    teapot scale (240 tris) this wins by orders of magnitude; the
+    crossover to traversal is a few thousand triangles.
+
+    Returns (hit, t, tri_idx, u, v) like `traverse` (tri_idx in the
+    array's own order).
+    """
+    nt = tri_verts.shape[0]
+    n = o.shape[0]
+    n_chunks = (nt + chunk - 1) // chunk
+    pad = n_chunks * chunk - nt
+    if pad:
+        tri_verts = jnp.concatenate(
+            [tri_verts, jnp.zeros((pad, 3, 3), tri_verts.dtype)], axis=0
+        )
+    chunks = tri_verts.reshape(n_chunks, chunk, 3, 3)
+    t_min = jnp.asarray(t_min, jnp.float32)
+    if t_min.ndim == 1:
+        t_min = t_min[:, None]  # (N, 1) against (N, chunk)
+
+    init = (
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    )
+
+    def step(carry, inp):
+        ci, tv = inp
+        best_t, best_tri, best_u, best_v = carry
+        valid, t, u, v = moller_trumbore(
+            o[:, None, :], d[:, None, :], tv[None, :, 0], tv[None, :, 1],
+            tv[None, :, 2], t_min, best_t[:, None],
+        )  # (N, chunk)
+        base = ci * chunk
+        tri_ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        in_range = tri_ids < nt
+        valid = valid & in_range
+        t_m = jnp.where(valid, t, jnp.inf)
+        k = jnp.argmin(t_m, axis=1)
+        rows = jnp.arange(n)
+        better = valid[rows, k] & (t[rows, k] < best_t)
+        best_tri = jnp.where(better, base + k.astype(jnp.int32), best_tri)
+        best_u = jnp.where(better, u[rows, k], best_u)
+        best_v = jnp.where(better, v[rows, k], best_v)
+        best_t = jnp.where(better, t[rows, k], best_t)
+        return (best_t, best_tri, best_u, best_v), None
+
+    (best_t, best_tri, best_u, best_v), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_chunks, dtype=jnp.int32), chunks)
+    )
     hit = best_tri >= 0
     return hit, best_t, best_tri, best_u, best_v
 

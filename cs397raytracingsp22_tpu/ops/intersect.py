@@ -31,11 +31,25 @@ from cs397raytracingsp22_tpu.models.scene import MeshBlock, SceneData
 from cs397raytracingsp22_tpu.ops import bvh as bvhlib
 from cs397raytracingsp22_tpu.utils import vecmath as vm
 
-# Meshes at or below this many triangles use dense brute-force
-# intersection (VPU-friendly) instead of BVH traversal (gather-bound).
-BRUTE_FORCE_MAX_TRIS = 64
+# Meshes at or below this many triangles use the dense chunked
+# all-triangles test (pure VPU math, no gathers) instead of BVH traversal
+# (gather-bound and lockstep-divergent — slow on TPU). Measured crossover
+# is in the thousands of triangles.
+BRUTE_FORCE_MAX_TRIS = 2048
 
 _BIG = jnp.float32(jnp.inf)
+
+
+def _use_pallas() -> bool:
+    """Route hot kernels through Pallas on TPU; jnp elsewhere (tests run
+    the CPU backend, where interpret-mode Pallas would be pure overhead).
+    RT_PALLAS=0/1 overrides for A/B benchmarking."""
+    import os
+
+    env = os.environ.get("RT_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 
 @partial(
@@ -102,8 +116,15 @@ def _sphere_roots(o, d, center, radius):
     return ok, t1, t2
 
 
+def _col(x):
+    """Broadcast a scalar-or-(N,) t bound against (N, K) candidate arrays."""
+    x = jnp.asarray(x, jnp.float32)
+    return x[:, None] if x.ndim == 1 else x
+
+
 def intersect_spheres(scene: SceneData, o, d, t_min, t_max):
     """Nearest sphere hit per ray. Returns (t, idx, valid), t=(N,)."""
+    t_min, t_max = _col(t_min), _col(t_max)
     ok, t1, t2 = _sphere_roots(o[:, None, :], d[:, None, :], scene.sph_center, scene.sph_radius)
     # Root selection per reference: t1 if t1 >= t_min else t2 (geometry.rs:408).
     t = jnp.where(t1 >= t_min, t1, t2)
@@ -117,6 +138,7 @@ def intersect_spheres(scene: SceneData, o, d, t_min, t_max):
 
 def intersect_planes(scene: SceneData, o, d, t_min, t_max):
     """Nearest plane hit per ray (geometry.rs:474-487 semantics)."""
+    t_min, t_max = _col(t_min), _col(t_max)
     to_origin = o[:, None, :] - scene.pln_point  # (N, P, 3)
     od = jnp.sum(to_origin * scene.pln_normal, axis=-1)  # (N, P)
     n = vm.signum(od)[..., None] * scene.pln_normal  # flipped toward origin
@@ -133,7 +155,8 @@ def intersect_planes(scene: SceneData, o, d, t_min, t_max):
 def intersect_triangles(scene: SceneData, o, d, t_min, t_max):
     """Nearest standalone-triangle hit per ray (geometry.rs:431-449)."""
     valid, t, _, _ = bvhlib.moller_trumbore(
-        o[:, None, :], d[:, None, :], scene.tri_a, scene.tri_b, scene.tri_c, t_min, t_max
+        o[:, None, :], d[:, None, :], scene.tri_a, scene.tri_b, scene.tri_c,
+        _col(t_min), _col(t_max),
     )
     valid &= jnp.arange(t.shape[1]) < scene.n_tris
     t_m = jnp.where(valid, t, _BIG)
@@ -153,6 +176,7 @@ def intersect_volumes(scene: SceneData, o, d, t_min, t_max, u_vol):
     u_vol: (N, V) uniforms in [0, 1) — one draw per ray per volume per
     bounce, replacing thread_rng at geometry.rs:517.
     """
+    t_min, t_max = _col(t_min), _col(t_max)
     ok, t1, t2 = _sphere_roots(
         o[:, None, :], d[:, None, :], scene.vol_center, scene.vol_radius
     )
@@ -215,9 +239,16 @@ def intersect_mesh(mesh: MeshBlock, scene: SceneData, o, d, t_min, t_max):
     d_obj = _transform_vector(mesh.inv_transform, d)
 
     if mesh.tri_verts.shape[0] <= BRUTE_FORCE_MAX_TRIS:
-        hit, t, tri, u, v = bvhlib.intersect_tris_bruteforce(
-            o_obj, d_obj, mesh.tri_verts, t_min, t_max
-        )
+        if _use_pallas():
+            from cs397raytracingsp22_tpu.ops.pallas.tri_scan import tri_scan_pallas
+
+            hit, t, tri, u, v = tri_scan_pallas(
+                o_obj, d_obj, mesh.tri_table, t_min, t_max
+            )
+        else:
+            hit, t, tri, u, v = bvhlib.intersect_tris_scan(
+                o_obj, d_obj, mesh.tri_verts, t_min, t_max
+            )
     else:
         hit, t, tri, u, v = bvhlib.traverse(
             o_obj,

@@ -66,8 +66,7 @@ class RenderStats:
         )
 
 
-@partial(jax.jit, static_argnames=("camera", "spp", "n_chains"))
-def render_chunk(
+def render_chunk_core(
     scene: SceneData,
     camera: Camera,
     pixel_ids: jnp.ndarray,
@@ -76,12 +75,14 @@ def render_chunk(
     spp: int,
     n_chains: int = 1,
 ):
-    """Render one pixel chunk at `spp` samples: (N_px, 3) mean radiance.
+    """Render one pixel chunk at `spp` samples (trace-level core).
 
     `n_chains` replicates each camera sample into independent bounce
     chains (the path_samples analogue — see integrator docstring).
     Returns (radiance_sum, segments): per-pixel SUM over this chunk's
     samples (caller accumulates and divides) and traced segment count.
+    Pure function of its inputs — used directly under jit (render_chunk)
+    and inside shard_map (parallel.sharding).
     """
     n_px = pixel_ids.shape[0]
     o, d = camera.generate_rays(base_key, pixel_ids, spp=spp, sample_offset=sample_offset)
@@ -113,6 +114,11 @@ def render_chunk(
 
     radiance = radiance.reshape(n_px, spp * n_chains, 3)
     return jnp.sum(radiance, axis=1) / n_chains, segments
+
+
+render_chunk = jax.jit(
+    render_chunk_core, static_argnames=("camera", "spp", "n_chains")
+)
 
 
 def render_to_image(

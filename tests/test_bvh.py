@@ -71,6 +71,25 @@ def test_traverse_matches_bruteforce():
     np.testing.assert_allclose(np.asarray(v_b)[m], np.asarray(v_t)[m], rtol=1e-4, atol=1e-5)
 
 
+def test_scan_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    tris = random_tris(300, rng)  # not a multiple of the chunk size
+    o = rng.uniform(-8, 8, size=(128, 3)).astype(np.float32)
+    targets = tris[rng.integers(0, len(tris), 128)].mean(axis=1)
+    d = (targets - o).astype(np.float32)
+    hb, tb, ib, ub, vb = bvhlib.intersect_tris_bruteforce(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(tris), 0.001, 100.0
+    )
+    hs, ts, is_, us, vs = bvhlib.intersect_tris_scan(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(tris), 0.001, 100.0, chunk=64
+    )
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hs))
+    m = np.asarray(hb)
+    assert m.sum() > 50
+    np.testing.assert_allclose(np.asarray(tb)[m], np.asarray(ts)[m], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ib)[m], np.asarray(is_)[m])
+
+
 def test_traverse_respects_t_range():
     rng = np.random.default_rng(2)
     tris = random_tris(33, rng, spread=2.0)
