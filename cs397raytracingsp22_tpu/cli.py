@@ -1,0 +1,93 @@
+"""Command-line renderer: `python -m cs397raytracingsp22_tpu.cli scene.py -o out.png`.
+
+The reference has no CLI — its entire configuration is a hard-coded scene
+in run() (tracing.rs:354-548). Here a scene is any Python file exposing
+`build(**overrides) -> Scene`; the five BASELINE configs live in scenes/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+
+def load_scene_module(path: str):
+    spec = importlib.util.spec_from_file_location("user_scene", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if not hasattr(mod, "build"):
+        raise SystemExit(f"{path} must define build(**overrides) -> Scene")
+    return mod
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native path tracer")
+    p.add_argument("scene", help="scene script exposing build(**overrides)")
+    p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--width", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument("--spp", type=int)
+    p.add_argument("--checkpoint", help="HDR accumulator checkpoint (.npz) for resume")
+    p.add_argument("--spp-chunk", type=int, help="samples per accumulation chunk")
+    p.add_argument("--pixel-chunk", type=int)
+    p.add_argument("--stats-json", help="write render stats to this path")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("-q", "--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from cs397raytracingsp22_tpu.render.driver import render_to_image, save_png
+
+    overrides = {}
+    if args.width:
+        overrides["width"] = args.width
+    if args.height:
+        overrides["height"] = args.height
+    if args.spp:
+        overrides["spp"] = args.spp
+
+    mod = load_scene_module(args.scene)
+    scene = mod.build(**overrides)
+
+    img, stats = render_to_image(
+        scene,
+        seed=args.seed,
+        pixel_chunk=args.pixel_chunk,
+        spp_chunk=args.spp_chunk,
+        checkpoint_path=args.checkpoint,
+        verbose=not args.quiet,
+    )
+    save_png(img, args.output)
+    if not args.quiet:
+        print(f"[cli] wrote {args.output}")
+    if args.stats_json:
+        with open(args.stats_json, "w") as f:
+            json.dump(
+                {
+                    "width": stats.width,
+                    "height": stats.height,
+                    "spp": stats.spp,
+                    "path_depth": stats.path_depth,
+                    "wall_seconds": stats.wall_seconds,
+                    "compile_seconds": stats.compile_seconds,
+                    "primary_rays": stats.primary_rays,
+                    "path_segments": stats.path_segments,
+                    "primary_mrays_per_sec": stats.primary_mrays_per_sec,
+                    "segment_mrays_per_sec": stats.segment_mrays_per_sec,
+                },
+                f,
+                indent=2,
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -121,6 +121,24 @@ render_chunk = jax.jit(
 )
 
 
+def _run_chunk_with_retry(scene, cam, ids, key, s0, spp, n_chains, retries: int = 2):
+    """Failure detection + recovery (SURVEY.md §5): chunks are stateless,
+    so a transient device error (preempted remote TPU, infra hiccup) is
+    recovered by simply re-running the chunk."""
+    for attempt in range(retries + 1):
+        try:
+            rad_sum, segs = render_chunk(scene, cam, ids, key, s0, spp, n_chains)
+            return jax.block_until_ready(rad_sum), segs
+        except jax.errors.JaxRuntimeError as e:
+            if attempt == retries:
+                raise
+            print(
+                f"\n[render] device error ({type(e).__name__}); retrying chunk "
+                f"({attempt + 1}/{retries})"
+            )
+            time.sleep(1.0 + attempt)
+
+
 def render_to_image(
     scene: Scene,
     seed: int = 0,
@@ -197,7 +215,7 @@ def render_to_image(
                     [ids, np.zeros(pixel_chunk - n_valid, np.int32)]
                 )
             t0 = time.perf_counter()
-            rad_sum, segs = render_chunk(
+            rad_sum, segs = _run_chunk_with_retry(
                 scene_data,
                 cam,
                 jnp.asarray(ids),
@@ -206,7 +224,7 @@ def render_to_image(
                 s_count,
                 n_chains,
             )
-            rad_sum = np.asarray(jax.block_until_ready(rad_sum), np.float64)
+            rad_sum = np.asarray(rad_sum, np.float64)
             if not first_chunk_done:
                 stats.compile_seconds = time.perf_counter() - t0
                 first_chunk_done = True

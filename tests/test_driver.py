@@ -1,0 +1,96 @@
+"""Driver-level tests: checkpoint/resume, CLI, stats."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cs397raytracingsp22_tpu.render.driver import render_to_image
+from scenes import cornell
+
+
+def test_checkpoint_resume(tmp_path):
+    scene = cornell.build(width=8, height=8, spp=4, path_depth=2)
+    ckpt = str(tmp_path / "accum.npz")
+
+    # Render only the first 2 spp (simulate an interrupted render by
+    # chunking spp and snapshotting the checkpoint mid-way).
+    img_full, _ = render_to_image(scene, seed=5, spp_chunk=2, verbose=False)
+
+    # fresh run with checkpointing, chunked the same way
+    img_ck, _ = render_to_image(
+        scene, seed=5, spp_chunk=2, checkpoint_path=ckpt, verbose=False
+    )
+    np.testing.assert_array_equal(img_full, img_ck)
+    assert os.path.exists(ckpt)
+
+    # resuming from the final checkpoint renders nothing new but
+    # reproduces the image exactly from the accumulator
+    img_res, stats = render_to_image(
+        scene, seed=5, spp_chunk=2, checkpoint_path=ckpt, verbose=False
+    )
+    np.testing.assert_array_equal(img_full, img_res)
+    assert stats.primary_rays == 0  # everything came from the checkpoint
+
+
+def test_partial_checkpoint_resume(tmp_path):
+    """Simulate a kill mid-render: build a checkpoint at 2/4 spp by
+    rendering a half-spp scene, then resume to the full result."""
+    scene_half = cornell.build(width=8, height=8, spp=2, path_depth=2)
+    scene_full = cornell.build(width=8, height=8, spp=4, path_depth=2)
+    ckpt = str(tmp_path / "accum.npz")
+
+    render_to_image(scene_half, seed=5, checkpoint_path=ckpt, verbose=False)
+    # the half-render checkpoint says spp_done=2; full render resumes at 2.
+    # NOTE: per-sample RNG depends on camera.aa_sample_count, so resuming
+    # into a DIFFERENT total spp is only valid because the sample uid uses
+    # aa_sample_count of each camera... assert behavior matches a direct
+    # spp-chunked run instead of bitwise comparing across cameras.
+    img_resumed, stats = render_to_image(
+        scene_full, seed=5, checkpoint_path=ckpt, verbose=False
+    )
+    assert stats.primary_rays == 8 * 8 * 2  # only 2 remaining spp traced
+    assert img_resumed.shape == (8, 8, 3)
+
+
+def test_stats_populated():
+    scene = cornell.build(width=8, height=8, spp=2, path_depth=2)
+    _, stats = render_to_image(scene, verbose=False)
+    assert stats.primary_rays == 8 * 8 * 2
+    assert stats.path_segments > 0
+    assert stats.wall_seconds > 0
+    assert "Mrays" in stats.summary()
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    out = str(tmp_path / "out.png")
+    stats = str(tmp_path / "stats.json")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "cs397raytracingsp22_tpu.cli",
+            "scenes/cornell.py",
+            "-o",
+            out,
+            "--width", "8", "--height", "8", "--spp", "2",
+            "--stats-json", stats,
+            "--cpu", "-q",
+        ],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        timeout=300,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out) and os.path.exists(stats)
+    from PIL import Image
+
+    img = Image.open(out)
+    assert img.size == (8, 8)
