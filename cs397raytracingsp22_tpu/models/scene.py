@@ -107,13 +107,31 @@ _SCENE_DATA_FIELDS = [
     "tex_height",
     "point_light_pos",
     "ambient",
+    # fused-kernel SMEM tables (ops/pallas/scene_intersect.py)
+    "ksph_f",
+    "ksph_m",
+    "kpln_f",
+    "kpln_m",
+    "ktri_f",
+    "ktri_m",
+    "kvol_f",
+    "kvol_m",
+    "kmesh_xf",
+    "kmesh_tri",
 ]
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=_SCENE_DATA_FIELDS,
-    meta_fields=["n_spheres", "n_planes", "n_tris", "n_volumes"],
+    meta_fields=[
+        "n_spheres",
+        "n_planes",
+        "n_tris",
+        "n_volumes",
+        "kmesh_ranges",
+        "dense_mesh_ids",
+    ],
 )
 @dataclasses.dataclass
 class SceneData:
@@ -158,11 +176,29 @@ class SceneData:
     # phong-mode lighting
     point_light_pos: jnp.ndarray
     ambient: jnp.ndarray
+    # fused-kernel SMEM tables: spheres (S,4)=[c,r], planes (P,6)=[p,n],
+    # standalone tris (T,12)=[a,e1,e2,geo_n], volumes (V,5)=[c,r,-1/rho],
+    # dense-mesh inverse transforms (M,12)=[R,t] and concatenated dense
+    # triangle tables (TT,9)=[a,e1,e2]
+    ksph_f: jnp.ndarray
+    ksph_m: jnp.ndarray
+    kpln_f: jnp.ndarray
+    kpln_m: jnp.ndarray
+    ktri_f: jnp.ndarray
+    ktri_m: jnp.ndarray
+    kvol_f: jnp.ndarray
+    kvol_m: jnp.ndarray
+    kmesh_xf: jnp.ndarray
+    kmesh_tri: jnp.ndarray
     # static actual counts (arrays are padded)
     n_spheres: int
     n_planes: int
     n_tris: int
     n_volumes: int
+    # dense meshes: (start, count) ranges into kmesh_tri + their indices
+    # into `meshes` (static)
+    kmesh_ranges: Tuple[Tuple[int, int], ...]
+    dense_mesh_ids: Tuple[int, ...]
 
 
 @dataclasses.dataclass
@@ -239,6 +275,67 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         a = np.asarray(rows, np.int32) if rows else np.zeros((0,), np.int32)
         return jnp.asarray(_pad_rows(a, 1, 0).astype(np.int32))
 
+    # --- fused-kernel SMEM tables (numpy, padded to >= 1 row) ---
+    def np_pad(rows, width, fill=0.0):
+        a = (
+            np.asarray(rows, np.float32).reshape(-1, width)
+            if rows
+            else np.zeros((0, width), np.float32)
+        )
+        return _pad_rows(a, 1, fill)
+
+    sph_np = np_pad(
+        [tuple(c) + (r,) for c, r in zip(sph_center, sph_radius)], 4, 0.0
+    )
+    sph_np[len(sph_center):, :3] = 1e30  # inert padding
+    pln_np = np_pad(
+        [tuple(p) + tuple(n) for p, n in zip(pln_point, pln_normal)], 6, 0.0
+    )
+    if tri_a:
+        a_np = np.asarray(tri_a, np.float32)
+        e1_np = np.asarray(tri_b, np.float32) - a_np
+        e2_np = np.asarray(tri_c, np.float32) - a_np
+        gn = np.cross(e1_np, e2_np)
+        gn = gn / np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-30)
+        tri_np = np.concatenate([a_np, e1_np, e2_np, gn], axis=1).astype(np.float32)
+    else:
+        tri_np = np.zeros((1, 12), np.float32)
+    vol_np = np_pad(
+        [
+            tuple(c) + (r, -1.0 / rho)
+            for c, r, rho in zip(vol_center, vol_radius, vol_density)
+        ],
+        5,
+        0.0,
+    )
+    vol_np[len(vol_center):, :3] = 1e30
+
+    from cs397raytracingsp22_tpu.ops.bvh import DENSE_MESH_MAX_TRIS
+
+    dense_ids = tuple(
+        i
+        for i, m in enumerate(mesh_blocks)
+        if m.tri_verts.shape[0] <= DENSE_MESH_MAX_TRIS
+    )
+    mesh_xf = np.zeros((max(1, len(dense_ids)), 12), np.float32)
+    ranges = []
+    tables = []
+    cursor = 0
+    for k, mi in enumerate(dense_ids):
+        m = mesh_blocks[mi]
+        inv = np.asarray(m.inv_transform)
+        mesh_xf[k, :9] = inv[:3, :3].reshape(-1)
+        mesh_xf[k, 9:] = inv[:3, 3]
+        tt = np.asarray(m.tri_table)
+        tables.append(tt)
+        ranges.append((cursor, int(tt.shape[0])))
+        cursor += int(tt.shape[0])
+    kmesh_tri = (
+        np.concatenate(tables, axis=0).astype(np.float32)
+        if tables
+        else np.zeros((1, 9), np.float32)
+    )
+
     return SceneData(
         mat_type=jnp.asarray(table["mat_type"]),
         mat_albedo=jnp.asarray(table["mat_albedo"]),
@@ -267,10 +364,22 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         tex_height=jnp.asarray(packed.height),
         point_light_pos=jnp.asarray(scene.point_light_pos, jnp.float32),
         ambient=jnp.asarray(scene.ambient, jnp.float32),
+        ksph_f=jnp.asarray(sph_np),
+        ksph_m=i32(sph_mat),
+        kpln_f=jnp.asarray(pln_np),
+        kpln_m=i32(pln_mat),
+        ktri_f=jnp.asarray(tri_np),
+        ktri_m=i32(tri_mat),
+        kvol_f=jnp.asarray(vol_np),
+        kvol_m=i32(vol_mat),
+        kmesh_xf=jnp.asarray(mesh_xf),
+        kmesh_tri=jnp.asarray(kmesh_tri),
         n_spheres=len(sph_center),
         n_planes=len(pln_point),
         n_tris=len(tri_a),
         n_volumes=len(vol_center),
+        kmesh_ranges=tuple(ranges),
+        dense_mesh_ids=dense_ids,
     )
 
 

@@ -30,6 +30,11 @@ import numpy as np
 
 MT_EPSILON = 1e-4  # Möller–Trumbore parallel-ray epsilon (geometry.rs:335)
 
+# Meshes at or below this many triangles take the dense all-triangles
+# path (VPU scan — the fused Pallas kernel on TPU); larger meshes use
+# threaded-BVH traversal. Shared by the scene compiler and intersect ops.
+DENSE_MESH_MAX_TRIS = 2048
+
 
 @dataclasses.dataclass
 class FlatBVH:

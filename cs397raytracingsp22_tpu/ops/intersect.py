@@ -35,7 +35,7 @@ from cs397raytracingsp22_tpu.utils import vecmath as vm
 # all-triangles test (pure VPU math, no gathers) instead of BVH traversal
 # (gather-bound and lockstep-divergent — slow on TPU). Measured crossover
 # is in the thousands of triangles.
-BRUTE_FORCE_MAX_TRIS = 2048
+BRUTE_FORCE_MAX_TRIS = bvhlib.DENSE_MESH_MAX_TRIS
 
 _BIG = jnp.float32(jnp.inf)
 
@@ -232,8 +232,10 @@ def sample_texture(scene: SceneData, tex_id: int, uv: jnp.ndarray) -> jnp.ndarra
 def intersect_mesh(mesh: MeshBlock, scene: SceneData, o, d, t_min, t_max):
     """One StaticMesh: object-space traversal + full shading resolve.
 
-    Returns candidate fields dict (t in OBJECT space — reference quirk,
-    geometry.rs:304-310).
+    Returns candidate fields dict (t in OBJECT space — but note the ray
+    parameter is transform-invariant because the direction is transformed
+    WITHOUT renormalization, geometry.rs:304, so t compares directly with
+    other primitives').
     """
     o_obj = _transform_point(mesh.inv_transform, o)
     d_obj = _transform_vector(mesh.inv_transform, d)
@@ -263,7 +265,16 @@ def intersect_mesh(mesh: MeshBlock, scene: SceneData, o, d, t_min, t_max):
             mesh.tri_verts,
             mesh.leaf_size,
         )
+    fields = resolve_mesh_hit(mesh, scene, o_obj, d_obj, t, tri, u, v)
+    fields["valid"] = hit
+    fields["t"] = jnp.where(hit, t, _BIG)
+    return fields
 
+
+def resolve_mesh_hit(mesh: MeshBlock, scene: SceneData, o_obj, d_obj, t, tri, u, v):
+    """Shading resolve for mesh hits given (t, tri, u, v) in object space:
+    smooth normals, texcoords, TBN normal mapping, world transform, and
+    the explicit-or-texture-synthesized material (geometry.rs:274-321)."""
     tri = jnp.maximum(tri, 0)  # safe gather index for miss lanes
     w = 1.0 - u - v
 
@@ -334,8 +345,6 @@ def intersect_mesh(mesh: MeshBlock, scene: SceneData, o, d, t_min, t_max):
         )
 
     return dict(
-        valid=hit,
-        t=jnp.where(hit, t, _BIG),
         point=p_world,
         normal=n_world,
         frontface=frontface,
@@ -351,12 +360,25 @@ def intersect_scene(
     Args:
       o, d: (N, 3) world-space rays (directions may be unnormalized —
         all t values are in units of |d|, like the reference).
-      t_min, t_max: scalar bounds.
+      t_min, t_max: scalar or per-ray bounds.
       u_vol: (N, V) uniforms for volume free-flight sampling.
 
     Ties across classes are broken by class order (measure-zero difference
     from the reference's list order, SURVEY.md §3.5).
+
+    On TPU this routes through the fused Pallas kernel
+    (ops/pallas/scene_intersect.py) with a winner-only resolve; the jnp
+    path below is the specification, the CPU/test path, and the fallback.
     """
+    if _use_pallas():
+        return intersect_scene_fused(scene, o, d, t_min, t_max, u_vol)
+    return intersect_scene_jnp(scene, o, d, t_min, t_max, u_vol)
+
+
+def intersect_scene_jnp(
+    scene: SceneData, o, d, t_min, t_max, u_vol: jnp.ndarray
+) -> HitRecord:
+    """Pure-jnp reference implementation of intersect_scene."""
     n = o.shape[0]
     n_idx = jnp.arange(n)
 
@@ -462,4 +484,78 @@ def intersect_scene(
         roughness=select("roughness"),
         metallic=select("metallic"),
         ior=select("ior"),
+    )
+
+
+def intersect_scene_fused(
+    scene: SceneData, o, d, t_min, t_max, u_vol: jnp.ndarray
+) -> HitRecord:
+    """TPU fast path: fused Pallas kernel + winner-only resolve.
+
+    The kernel (ops/pallas/scene_intersect.py) returns the nearest hit
+    across spheres/planes/triangles/volumes/dense meshes with normals and
+    material ids already selected; this wrapper merges BVH-traversed big
+    meshes, gathers the winner's material row, and resolves mesh shading
+    attributes per dense/big mesh under a winner mask. Semantics match
+    intersect_scene_jnp (asserted by tests/test_fused.py).
+    """
+    from cs397raytracingsp22_tpu.ops.pallas.scene_intersect import (
+        CODE_MESH0,
+        scene_intersect_pallas,
+    )
+
+    n = o.shape[0]
+    t, code, idx, mat_id, u, v, normal, ff = scene_intersect_pallas(
+        scene, o, d, t_min, t_max, u_vol
+    )
+    valid = code >= 0
+
+    # Merge big (BVH-traversed) meshes; they get codes after the dense ones.
+    n_dense = len(scene.dense_mesh_ids)
+    big_ids = [
+        i for i in range(len(scene.meshes)) if i not in scene.dense_mesh_ids
+    ]
+    for j, mi in enumerate(big_ids):
+        mesh = scene.meshes[mi]
+        o_obj = _transform_point(mesh.inv_transform, o)
+        d_obj = _transform_vector(mesh.inv_transform, d)
+        hit_m, t_m, tri_m, u_m, v_m = bvhlib.traverse(
+            o_obj, d_obj, t_min, t_max,
+            mesh.bounds_min, mesh.bounds_max, mesh.skip,
+            mesh.leaf_start, mesh.leaf_count, mesh.tri_verts, mesh.leaf_size,
+        )
+        better = hit_m & (t_m < t)
+        t = jnp.where(better, t_m, t)
+        code = jnp.where(better, CODE_MESH0 + n_dense + j, code)
+        idx = jnp.where(better, tri_m, idx)
+        u = jnp.where(better, u_m, u)
+        v = jnp.where(better, v_m, v)
+        valid = valid | better
+
+    # Analytic winners: world point + material row.
+    point = o + t[:, None] * d
+    m = _gather_material(scene, jnp.clip(mat_id, 0, scene.mat_type.shape[0] - 1))
+    fields = dict(
+        point=point,
+        normal=normal,
+        frontface=ff,
+        **m,
+    )
+
+    # Mesh winners: full shading resolve under a mask, one mesh at a time.
+    mesh_order = list(scene.dense_mesh_ids) + big_ids
+    for k, mi in enumerate(mesh_order):
+        mesh = scene.meshes[mi]
+        mask = code == CODE_MESH0 + k
+        o_obj = _transform_point(mesh.inv_transform, o)
+        d_obj = _transform_vector(mesh.inv_transform, d)
+        mf = resolve_mesh_hit(mesh, scene, o_obj, d_obj, t, idx, u, v)
+        for key in fields:
+            sel = mask[:, None] if fields[key].ndim > 1 else mask
+            fields[key] = jnp.where(sel, mf[key], fields[key])
+
+    return HitRecord(
+        valid=valid,
+        t=jnp.where(valid, t, _BIG),
+        **fields,
     )

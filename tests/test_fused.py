@@ -1,0 +1,113 @@
+"""Fused Pallas scene-intersection kernel vs the jnp specification.
+
+Runs the kernel in interpreter mode on CPU (tests never need TPU) and
+asserts hit-for-hit agreement with intersect_scene_jnp on a scene using
+every primitive class: spheres, planes, standalone triangles, volumes,
+a dense mesh, and (separately) a big BVH mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cs397raytracingsp22_tpu import (
+    Camera,
+    ConvexVolume,
+    Dielectric,
+    Isotropic,
+    Lambertian,
+    Metal,
+    Plane,
+    Scene,
+    Sphere,
+    Triangle,
+)
+from cs397raytracingsp22_tpu.models import transform as tf
+from cs397raytracingsp22_tpu.ops.intersect import (
+    intersect_scene_fused,
+    intersect_scene_jnp,
+)
+from tests.test_mesh import make_mesh
+
+
+def full_scene():
+    mesh = make_mesh(
+        [[-1.5, 0, -4], [1.5, 0, -4], [0, 2, -4]],
+        [[0, 1, 2]],
+        material=Metal(albedo=(0.9, 0.9, 0.9)),
+        transform=tf.translate(0.5, 0.0, 0.0) @ tf.scale(0.8),
+    )
+    objects = [
+        Sphere(center=(0, 0, -5), radius=1.0, material=Lambertian(albedo=(0.5, 0.5, 0.5))),
+        Sphere(center=(2, 1, -6), radius=1.5, material=Dielectric()),
+        Plane(point=(0, -2, 0), normal=(0, 1, 0), material=Lambertian()),
+        Plane(point=(0, 8, 0), normal=(0, -1, 0), material=Lambertian(emission=(5, 5, 5))),
+        Triangle(a=(-3, 0, -3), b=(-1, 0, -3), c=(-2, 2, -3), material=Metal()),
+        ConvexVolume(
+            boundary=Sphere(center=(-2, -1, -4), radius=1.2, material=Lambertian()),
+            phase_function=Isotropic(albedo=(1, 1, 1)),
+            density=0.7,
+        ),
+        mesh,
+    ]
+    return Scene(camera=Camera(), objects=objects).compile()
+
+
+def rays(n, seed=0):
+    key = jax.random.key(seed)
+    k1, k2 = jax.random.split(key)
+    o = jax.random.uniform(k1, (n, 3), minval=-1.5, maxval=1.5)
+    d = jax.random.normal(k2, (n, 3))
+    # aim most rays into the scene (toward -z)
+    d = d.at[:, 2].set(-jnp.abs(d[:, 2]) - 0.3)
+    return o, d
+
+
+@pytest.mark.slow
+def test_fused_matches_jnp():
+    scene = full_scene()
+    n = 512
+    o, d = rays(n)
+    u_vol = jax.random.uniform(jax.random.key(7), (n, scene.vol_center.shape[0]))
+
+    ref = intersect_scene_jnp(scene, o, d, 0.001, 100.0, u_vol)
+    out = intersect_scene_fused(scene, o, d, 0.001, 100.0, u_vol)
+
+    rv = np.asarray(ref.valid)
+    ov = np.asarray(out.valid)
+    np.testing.assert_array_equal(rv, ov)
+    assert rv.sum() > n // 4, "scene should have plenty of hits"
+    m = rv
+    np.testing.assert_allclose(np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.point)[m], np.asarray(ref.point)[m], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.normal)[m], np.asarray(ref.normal)[m], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.frontface)[m], np.asarray(ref.frontface)[m]
+    )
+    np.testing.assert_array_equal(np.asarray(out.mtype)[m], np.asarray(ref.mtype)[m])
+    np.testing.assert_allclose(
+        np.asarray(out.albedo)[m], np.asarray(ref.albedo)[m], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.emission)[m], np.asarray(ref.emission)[m], atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_fused_per_ray_bounds():
+    scene = full_scene()
+    n = 256
+    o, d = rays(n, seed=3)
+    u_vol = jax.random.uniform(jax.random.key(8), (n, scene.vol_center.shape[0]))
+    t_max = jax.random.uniform(jax.random.key(9), (n,), minval=2.0, maxval=50.0)
+
+    ref = intersect_scene_jnp(scene, o, d, 0.0, t_max, u_vol)
+    out = intersect_scene_fused(scene, o, d, 0.0, t_max, u_vol)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=2e-5)
