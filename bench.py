@@ -84,7 +84,8 @@ def main():
     # One chunk sized to fill the chip.
     chunk_px = min(n_px, max(1, (1 << 21) // spp))
     pixel_ids = jnp.arange(chunk_px, dtype=jnp.int32)
-    key = jax.random.key(0)
+    from cs397raytracingsp22_tpu.utils import threefry
+    key = threefry.key_words(0)
 
     # Warmup/compile.
     rad, segs = render_chunk(data, cam, pixel_ids, key, jnp.int32(0), spp, 1)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from cs397raytracingsp22_tpu.utils import rng as rnglib
 from cs397raytracingsp22_tpu.utils import sampling
+from cs397raytracingsp22_tpu.utils import threefry
 from cs397raytracingsp22_tpu.utils import vecmath as vm
 
 
@@ -83,7 +84,7 @@ class Camera:
 
     def generate_rays(
         self,
-        base_key: jax.Array,
+        rng_key,
         pixel_ids: jnp.ndarray,
         spp: int | None = None,
         sample_offset=0,
@@ -91,7 +92,8 @@ class Camera:
         """Generate multi-jittered AA camera rays for a batch of pixels.
 
         Args:
-          base_key: render PRNG key.
+          rng_key: python int seed or (2,) uint32 key words
+            (utils.threefry.key_words) — the render's counter-RNG key.
           pixel_ids: (N,) int32 flat pixel indices (y * screen_width + x).
           spp: samples per pixel generated in THIS call; defaults to
             aa_sample_count.
@@ -109,10 +111,12 @@ class Camera:
         """
         if spp is None:
             spp = self.aa_sample_count
-        return _generate_rays_jit(self, base_key, pixel_ids, spp, sample_offset)
+        if isinstance(rng_key, int):
+            rng_key = threefry.key_words(rng_key)
+        return _generate_rays_jit(self, rng_key, pixel_ids, spp, sample_offset)
 
     def _generate_rays_impl(
-        self, base_key, pixel_ids, spp: int, sample_offset
+        self, rng_key, pixel_ids, spp: int, sample_offset
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         n_px = pixel_ids.shape[0]
         x = (pixel_ids % self.screen_width).astype(jnp.float32)
@@ -131,14 +135,14 @@ class Camera:
             pixel_ids[:, None] * jnp.int32(self.aa_sample_count)
             + sample_ids[None, :]
         )
-        keys = rnglib.site_keys(
-            rnglib.ray_keys(base_key, uids.reshape(-1)), rnglib.SITE_CAMERA
+        # 4 camera-site uniforms per ray: integer-lattice jitter x/y
+        # (gen_range(0..n) → floor(u*n), tracing.rs:167-168) + lens disk.
+        u4 = threefry.counter_uniforms(
+            rng_key, uids.reshape(-1), rnglib.SITE_CAMERA, 4
         )
-
-        # Integer-lattice jitter: gen_range(0..n) (tracing.rs:167-168).
-        rand_xy = rnglib.randint(keys, 2, self.aa_sample_count).astype(jnp.float32)
-        rand_x = rand_xy[:, 0].reshape(n_px, spp)
-        rand_y = rand_xy[:, 1].reshape(n_px, spp)
+        n_int = float(self.aa_sample_count)
+        rand_x = jnp.floor(u4[:, 0] * n_int).reshape(n_px, spp)
+        rand_y = jnp.floor(u4[:, 1] * n_int).reshape(n_px, spp)
 
         # Subpixel grid walk: i/⌊√n⌋, i%⌊√n⌋ (tracing.rs:169-170), with i
         # the GLOBAL sample index so chunked accumulation still covers the
@@ -174,8 +178,7 @@ class Camera:
 
         # Thin-lens: random lens point, aim at the focus plane
         # (tracing.rs:182-184,197,201).
-        disk_keys = rnglib.site_keys(keys, 1)  # sub-site for the lens sample
-        disk = sampling.disk_vec_from_uniform(rnglib.uniform(disk_keys, 2))
+        disk = sampling.disk_vec_from_uniform(u4[:, 2:4])
         lens_origin = self.lens_radius * disk.reshape(n_px, spp, 3)
         focus_center = vm.normalize(center) * self.focus_dist
         origins = jnp.asarray(self.eyepoint, jnp.float32) + vm.apply_mat3(

@@ -29,7 +29,7 @@ from cs397raytracingsp22_tpu.models.camera import Camera, ShadingMode
 from cs397raytracingsp22_tpu.models.scene import Scene, SceneData
 from cs397raytracingsp22_tpu.ops import tonemap as tonemap_ops
 from cs397raytracingsp22_tpu.render import integrator
-from cs397raytracingsp22_tpu.utils import rng as rnglib
+from cs397raytracingsp22_tpu.utils import threefry
 
 
 @dataclasses.dataclass
@@ -70,7 +70,7 @@ def render_chunk_core(
     scene: SceneData,
     camera: Camera,
     pixel_ids: jnp.ndarray,
-    base_key: jax.Array,
+    rng_key,
     sample_offset: jnp.ndarray,
     spp: int,
     n_chains: int = 1,
@@ -85,7 +85,7 @@ def render_chunk_core(
     and inside shard_map (parallel.sharding).
     """
     n_px = pixel_ids.shape[0]
-    o, d = camera.generate_rays(base_key, pixel_ids, spp=spp, sample_offset=sample_offset)
+    o, d = camera.generate_rays(rng_key, pixel_ids, spp=spp, sample_offset=sample_offset)
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)
 
@@ -100,16 +100,15 @@ def render_chunk_core(
             n_chains, dtype=jnp.int32
         )
         uids = uids.reshape(-1)
-    keys = rnglib.ray_keys(base_key, uids)
 
     if camera.shading_mode is ShadingMode.PHONG:
         radiance = integrator.phong_trace(
-            scene, o, d, keys, camera.eyepoint, camera.max_trace_dist
+            scene, o, d, uids, rng_key, camera.eyepoint, camera.max_trace_dist
         )
         segments = jnp.asarray(float(o.shape[0]), jnp.float32)
     else:
         radiance, segments = integrator.path_trace(
-            scene, o, d, keys, camera.path_depth, camera.max_trace_dist
+            scene, o, d, uids, rng_key, camera.path_depth, camera.max_trace_dist
         )
 
     radiance = radiance.reshape(n_px, spp * n_chains, 3)
@@ -175,7 +174,7 @@ def render_to_image(
         spp_chunk = spp
     spp_chunk = min(spp_chunk, spp)
 
-    base_key = jax.random.key(seed)
+    rng_key = threefry.key_words(seed)
 
     if checkpoint_path and not checkpoint_path.endswith(".npz"):
         checkpoint_path = checkpoint_path + ".npz"
@@ -219,7 +218,7 @@ def render_to_image(
                 scene_data,
                 cam,
                 jnp.asarray(ids),
-                base_key,
+                rng_key,
                 jnp.int32(s0),
                 s_count,
                 n_chains,

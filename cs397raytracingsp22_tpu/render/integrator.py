@@ -30,6 +30,7 @@ from cs397raytracingsp22_tpu.ops import bsdf
 from cs397raytracingsp22_tpu.ops.intersect import intersect_scene
 from cs397raytracingsp22_tpu.utils import rng as rnglib
 from cs397raytracingsp22_tpu.utils import sampling
+from cs397raytracingsp22_tpu.utils import threefry
 from cs397raytracingsp22_tpu.utils import vecmath as vm
 
 # Path-trace ray epsilon (tracing.rs:305) and phong shadow offset
@@ -43,12 +44,12 @@ def background_color(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
 
 
-def _bounce_draws(scene: SceneData, ray_keys: jax.Array, site):
+def _bounce_draws(scene: SceneData, rng_key, uids: jnp.ndarray, site):
     """Per-ray draws for one bounce: ball vector, branch uniform, volume
-    uniforms. One batched call keeps threefry cost minimal."""
-    keys = rnglib.site_keys(ray_keys, site)
+    uniforms — all from the counter RNG (utils/threefry.py), identical to
+    what the Pallas mega-kernel computes in-register."""
     n_vol = scene.vol_center.shape[0]
-    u = rnglib.uniform(keys, 4 + n_vol)
+    u = threefry.counter_uniforms(rng_key, uids, site, 4 + n_vol)
     ball = sampling.ball_vec_from_uniform(u[:, 0:3])
     return ball, u[:, 3], u[:, 4:]
 
@@ -57,7 +58,8 @@ def path_trace(
     scene: SceneData,
     o: jnp.ndarray,
     d: jnp.ndarray,
-    ray_keys: jax.Array,
+    uids: jnp.ndarray,
+    rng_key,
     path_depth: int,
     max_trace_dist: float,
 ):
@@ -65,7 +67,8 @@ def path_trace(
 
     Args:
       o, d: (N, 3) primary rays.
-      ray_keys: (N,) per-chain PRNG keys (content-derived).
+      uids: (N,) int32 global chain ids (content-derived RNG counters).
+      rng_key: int seed or (2,) uint32 key words.
       path_depth: bounce budget (static loop bound).
       max_trace_dist: scene far limit.
 
@@ -88,7 +91,7 @@ def path_trace(
     def bounce(depth, state):
         o, d, thr, rad, alive, segs = state
         ball, u_choice, u_vol = _bounce_draws(
-            scene, ray_keys, rnglib.SITE_BOUNCE0 + depth
+            scene, rng_key, uids, rnglib.SITE_BOUNCE0 + depth
         )
         hit = intersect_scene(scene, o, d, PATH_T_MIN, max_trace_dist, u_vol)
 
@@ -129,7 +132,8 @@ def phong_trace(
     scene: SceneData,
     o: jnp.ndarray,
     d: jnp.ndarray,
-    ray_keys: jax.Array,
+    uids: jnp.ndarray,
+    rng_key,
     eyepoint,
     max_trace_dist: float,
 ):
@@ -141,7 +145,7 @@ def phong_trace(
     ParameterizedMaterial, exactly like the reference's call at
     tracing.rs:294.
     """
-    ball, u_choice, u_vol = _bounce_draws(scene, ray_keys, rnglib.SITE_BOUNCE0)
+    ball, u_choice, u_vol = _bounce_draws(scene, rng_key, uids, rnglib.SITE_BOUNCE0)
     hit = intersect_scene(scene, o, d, 0.0, max_trace_dist, u_vol)
 
     light = scene.point_light_pos
@@ -160,7 +164,7 @@ def phong_trace(
     # match) — replicated literally.
     shadow_o = hit.point + PHONG_SHADOW_OFFSET * n
     light_dist = vm.magnitude(light - hit.point)
-    _, _, u_vol2 = _bounce_draws(scene, ray_keys, rnglib.SITE_BOUNCE0 + 1)
+    _, _, u_vol2 = _bounce_draws(scene, rng_key, uids, rnglib.SITE_BOUNCE0 + 1)
     sh = intersect_scene(scene, shadow_o, to_light, 0.0, light_dist, u_vol2)
     far_enough = sh.t * sh.t > vm.magnitude2(light - sh.point)
     shadow_w = jnp.where(~sh.valid | far_enough, 1.0, 0.3)

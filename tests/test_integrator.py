@@ -25,8 +25,9 @@ def trace(scene_objects, o, d, n_rays=2048, depth=10, seed=0, max_dist=10000.0):
     scene = Scene(camera=Camera(), objects=scene_objects).compile()
     o = jnp.tile(jnp.asarray(o, jnp.float32), (n_rays, 1))
     d = jnp.tile(jnp.asarray(d, jnp.float32), (n_rays, 1))
-    keys = rnglib.ray_keys(jax.random.key(seed), jnp.arange(n_rays))
-    rad, _ = integrator.path_trace(scene, o, d, keys, depth, max_dist)
+    rad, _ = integrator.path_trace(
+        scene, o, d, jnp.arange(n_rays), seed, depth, max_dist
+    )
     return np.asarray(rad)
 
 
@@ -121,9 +122,11 @@ def test_chunking_invariance():
 def test_render_chunk_deterministic():
     from scenes import cornell
 
+    from cs397raytracingsp22_tpu.utils import threefry
+
     scene = cornell.build(width=8, height=8, spp=2, path_depth=2)
     data = scene.compile()
-    key = jax.random.key(3)
+    key = threefry.key_words(3)
     ids = jnp.arange(64, dtype=jnp.int32)
     r1, s1 = render_chunk(data, scene.camera, ids, key, jnp.int32(0), 2, 1)
     r2, s2 = render_chunk(data, scene.camera, ids, key, jnp.int32(0), 2, 1)

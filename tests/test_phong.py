@@ -15,10 +15,11 @@ def phong(objects, o, d, light=(0, 10, 0), ambient=(0.1, 0.1, 0.1), eye=(0, 0, 0
     ).compile()
     o = jnp.asarray(o, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(d, jnp.float32).reshape(-1, 3)
-    keys = rnglib.ray_keys(jax.random.key(0), jnp.arange(o.shape[0]))
+    uids = jnp.arange(o.shape[0])
     return np.asarray(
-        jax.jit(integrator.phong_trace, static_argnames=())(
-            scene, o, d, keys, jnp.asarray(eye, jnp.float32), 100.0
+        jax.jit(integrator.phong_trace)(
+            scene, o, d, uids, jnp.asarray([0, 0], jnp.uint32),
+            jnp.asarray(eye, jnp.float32), 100.0
         )
     )
 

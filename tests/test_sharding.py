@@ -28,7 +28,9 @@ def test_sharded_matches_single_device(small_scene, shape):
     mesh = sharding.make_device_mesh(n_dp=n_dp, n_sp=n_sp)
     spp = scene.camera.aa_sample_count
 
-    key = jax.random.key(11)
+    from cs397raytracingsp22_tpu.utils import threefry
+
+    key = threefry.key_words(11)
     pixel_ids = jnp.arange(256, dtype=jnp.int32)
 
     ref_sum, ref_segs = render_chunk(
