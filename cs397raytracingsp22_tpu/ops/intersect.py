@@ -37,7 +37,10 @@ from cs397raytracingsp22_tpu.utils import vecmath as vm
 # is in the thousands of triangles.
 BRUTE_FORCE_MAX_TRIS = bvhlib.DENSE_MESH_MAX_TRIS
 
-_BIG = jnp.float32(jnp.inf)
+# python float, NOT jnp.float32(...): a module-level device constant would
+# initialize the JAX backend at import time, freezing platform selection
+# before the CLI/tests can pick CPU vs TPU.
+_BIG = float("inf")
 
 
 def _use_pallas() -> bool:

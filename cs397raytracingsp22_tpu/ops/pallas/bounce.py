@@ -1,0 +1,678 @@
+"""Mega-bounce kernel: the ENTIRE path-trace loop fused in VMEM.
+
+One pallas_call runs all `path_depth` bounces for a block of rays:
+intersection across every primitive class (reusing the fused-scene-kernel
+structure), winner material resolve, Threefry-2x32 RNG, the masked BSDF
+switch, and the throughput/radiance update — with the whole wavefront
+state (origin, direction, throughput, radiance, alive) resident in VMEM
+registers. HBM traffic for a whole render chunk is one read of the camera
+rays and one write of the radiance: the renderer runs at VPU arithmetic
+speed instead of HBM bandwidth.
+
+Applicability (checked by `scene_is_simple`): every mesh is dense
+(≤ DENSE_MESH_MAX_TRIS) with an explicit material and no normal map —
+exactly the BASELINE north-star scene shape (Cornell + teapot + analytic
+primitives). Textured scenes use the staged pipeline
+(scene_intersect kernel + jnp resolve/BSDF).
+
+Correctness contract: bit-level algorithm identical to the jnp
+integrator.path_trace (same Threefry counters per (uid, site, draw), same
+estimator conventions — materials.rs:33-166, tracing.rs:300-324);
+asserted by tests/test_bounce_kernel.py in interpret mode.
+
+Mesh shading normals are resolved in-kernel without gathers: the
+triangle-scan loop carries the winning triangle's three corner normals
+(selected as SMEM scalars at update time), interpolated and transformed
+by the mesh's normal matrix after the scan (geometry.rs:350-351, 297).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cs397raytracingsp22_tpu.models import materials as matlib
+from cs397raytracingsp22_tpu.utils.rng import SITE_BOUNCE0
+
+MT_EPSILON = 1e-4
+LANES = 128
+DEFAULT_BLOCK_ROWS = 32
+PI = 3.14159265358979
+TWO_PI = 2.0 * PI
+
+_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+
+
+def _rotl(x, r):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """Tile-level Threefry-2x32-20, identical to utils/threefry.py."""
+    ks2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    x0 = c0 + k0
+    x1 = c1 + k1
+    ks = (k1, ks2, k0)
+    for group in range(5):
+        for i in range(4):
+            x0 = x0 + x1
+            x1 = _rotl(x1, _ROT[(group % 2) * 4 + i])
+            x1 = x1 ^ x0
+        x0 = x0 + ks[group % 3]
+        x1 = x1 + ks[(group + 1) % 3] + jnp.uint32(group + 1)
+    return x0, x1
+
+
+def _uniforms(k0, k1, uid_u32, site_u32, m):
+    """m uniform tiles for draw site — same counters as
+    threefry.counter_uniforms."""
+    out = []
+    base = site_u32 << jnp.uint32(16)
+    scale = jnp.float32(2.0**-24)
+    for blk in range((m + 1) // 2):
+        x0, x1 = _threefry2x32(k0, k1, uid_u32, base + jnp.uint32(blk))
+        # uint32 >> 8 fits in 24 bits → exact via int32 (Mosaic has no
+        # direct uint32→float32 cast)
+        out.append((x0 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * scale)
+        out.append((x1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * scale)
+    return out[:m]
+
+
+def scene_is_simple(scene) -> bool:
+    """True when the mega-bounce kernel can run this scene: all meshes
+    dense, explicitly-materialed, and not normal-mapped."""
+    if len(scene.dense_mesh_ids) != len(scene.meshes):
+        return False
+    for m in scene.meshes:
+        if m.mat_id < 0 or m.tex_ids[4] >= 0:
+            return False
+    return True
+
+
+def _make_kernel(counts, *, path_depth, t_min, max_dist):
+    n_sph = counts["n_sph"]
+    n_pln = counts["n_pln"]
+    n_tri = counts["n_tri"]
+    n_vol = counts["n_vol"]
+    mesh_ranges = counts["mesh_ranges"]
+    n_mat = counts["n_mat"]
+    n_mesh = len(mesh_ranges)
+
+    def kernel(
+        key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
+        mesh_xf, mesh_tri, mesh_nrm, mesh_meta, mat_tab,
+        ox, oy, oz, dx, dy, dz, uid,
+        rad_r, rad_g, rad_b, seg_out,
+    ):
+        shape = ox.shape
+        # SMEM scalars: Mosaic broadcasts scalar operands onto tiles
+        # natively (an explicit broadcast_to triggers a relayout error).
+        k0 = key_ref[0]
+        k1 = key_ref[1]
+        uid_u = uid[:].astype(jnp.uint32)
+
+        fzero = jnp.zeros(shape, jnp.float32)
+        izero = jnp.zeros(shape, jnp.int32)
+
+        state = (
+            ox[:], oy[:], oz[:],          # origin
+            dx[:], dy[:], dz[:],          # direction
+            jnp.ones(shape, jnp.float32),  # throughput rgb
+            jnp.ones(shape, jnp.float32),
+            jnp.ones(shape, jnp.float32),
+            fzero, fzero, fzero,           # radiance rgb
+            jnp.ones(shape, jnp.bool_),    # alive
+            fzero,                         # segments
+        )
+
+        def bounce(depth, state):
+            (sox, soy, soz, sdx, sdy, sdz,
+             tr, tg, tb, rr, rg, rb, alive, segs) = state
+
+            # ---------------- intersection ----------------
+            d2 = sdx * sdx + sdy * sdy + sdz * sdz
+            big = jnp.float32(max_dist)
+
+            best_t = jnp.full(shape, big, jnp.float32)
+            code = jnp.full(shape, -1, jnp.int32)
+            mat = izero
+            uu = fzero
+            vv = fzero
+            nx = fzero
+            ny = fzero
+            nz = fzero
+            ff = izero
+            # winning mesh-corner normals (for mesh winners)
+            cn = [fzero] * 9
+
+            carry0 = (best_t, code, mat, uu, vv, nx, ny, nz, ff)
+
+            def upd(carry, ok, t, c, m, u_, v_, nx_, ny_, nz_, ff_):
+                best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
+                return (
+                    jnp.where(ok, t, best_t),
+                    jnp.where(ok, c, code),
+                    jnp.where(ok, m, mat),
+                    jnp.where(ok, u_, uu),
+                    jnp.where(ok, v_, vv),
+                    jnp.where(ok, nx_, nx),
+                    jnp.where(ok, ny_, ny),
+                    jnp.where(ok, nz_, nz),
+                    jnp.where(ok, ff_, ff),
+                )
+
+            carry = carry0
+
+            def sph_body(s, carry):
+                cx = sph_f[s, 0]
+                cy = sph_f[s, 1]
+                cz = sph_f[s, 2]
+                r = sph_f[s, 3]
+                fx = sox - cx
+                fy = soy - cy
+                fz = soz - cz
+                b = 2.0 * (fx * sdx + fy * sdy + fz * sdz)
+                c2 = fx * fx + fy * fy + fz * fz - r * r
+                disc = b * b - 4.0 * d2 * c2
+                ok0 = disc >= 0.0
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv2a = 1.0 / (2.0 * d2)
+                t1 = (-b - sq) * inv2a
+                t2 = (-b + sq) * inv2a
+                t = jnp.where(t1 >= t_min, t1, t2)
+                ok = ok0 & (t >= t_min) & (t < carry[0])
+                px = sox + t * sdx - cx
+                py = soy + t * sdy - cy
+                pz = soz + t * sdz - cz
+                inv_len = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
+                gx = px * inv_len
+                gy = py * inv_len
+                gz = pz * inv_len
+                front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                return upd(carry, ok, t, 0, sph_m[s], fzero, fzero,
+                           sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
+
+            if n_sph:
+                carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
+
+            def pln_body(p, carry):
+                px = pln_f[p, 0]
+                py = pln_f[p, 1]
+                pz = pln_f[p, 2]
+                wx = pln_f[p, 3]
+                wy = pln_f[p, 4]
+                wz = pln_f[p, 5]
+                od = (sox - px) * wx + (soy - py) * wy + (soz - pz) * wz
+                sgn = jnp.where(od >= 0.0, 1.0, -1.0)
+                fx = sgn * wx
+                fy = sgn * wy
+                fz = sgn * wz
+                dd = sdx * fx + sdy * fy + sdz * fz
+                t = jnp.abs(od) / jnp.abs(jnp.where(dd == 0.0, 1.0, dd))
+                ok = (dd < 0.0) & (t >= t_min) & (t < carry[0])
+                return upd(carry, ok, t, 1, pln_m[p], fzero, fzero,
+                           fx, fy, fz, jnp.ones(shape, jnp.int32))
+
+            if n_pln:
+                carry = jax.lax.fori_loop(0, n_pln, pln_body, carry)
+
+            def mt(ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, ox_, oy_, oz_,
+                   dx_, dy_, dz_, best):
+                qx = dy_ * e2z - dz_ * e2y
+                qy = dz_ * e2x - dx_ * e2z
+                qz = dx_ * e2y - dy_ * e2x
+                det = e1x * qx + e1y * qy + e1z * qz
+                det_ok = jnp.abs(det) >= MT_EPSILON
+                f = 1.0 / jnp.where(det_ok, det, 1.0)
+                sx = ox_ - ax
+                sy = oy_ - ay
+                sz = oz_ - az
+                u = f * (sx * qx + sy * qy + sz * qz)
+                rx = sy * e1z - sz * e1y
+                ry = sz * e1x - sx * e1z
+                rz = sx * e1y - sy * e1x
+                v = f * (dx_ * rx + dy_ * ry + dz_ * rz)
+                t = f * (e2x * rx + e2y * ry + e2z * rz)
+                ok = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                      & (t >= t_min) & (t < best))
+                return ok, t, u, v
+
+            def tri_body(i, carry):
+                ok, t, u, v = mt(
+                    tri_f[i, 0], tri_f[i, 1], tri_f[i, 2],
+                    tri_f[i, 3], tri_f[i, 4], tri_f[i, 5],
+                    tri_f[i, 6], tri_f[i, 7], tri_f[i, 8],
+                    sox, soy, soz, sdx, sdy, sdz, carry[0],
+                )
+                gx = tri_f[i, 9]
+                gy = tri_f[i, 10]
+                gz = tri_f[i, 11]
+                front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                return upd(carry, ok, t, 2, tri_m[i], fzero, fzero,
+                           sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
+
+            if n_tri:
+                carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+
+            # bounce RNG (drawn before volumes need it)
+            site = (jnp.uint32(SITE_BOUNCE0) + depth.astype(jnp.uint32))
+            us = _uniforms(k0, k1, uid_u, site, 4 + max(n_vol, 1))
+
+            for vi in range(n_vol):
+                cx = vol_f[vi, 0]
+                cy = vol_f[vi, 1]
+                cz = vol_f[vi, 2]
+                r = vol_f[vi, 3]
+                neg_inv_rho = vol_f[vi, 4]
+                fx = sox - cx
+                fy = soy - cy
+                fz = soz - cz
+                b = 2.0 * (fx * sdx + fy * sdy + fz * sdz)
+                c2 = fx * fx + fy * fy + fz * fz - r * r
+                disc = b * b - 4.0 * d2 * c2
+                ok0 = disc >= 0.0
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv2a = 1.0 / (2.0 * d2)
+                t_entr = (-b - sq) * inv2a
+                t_exit = (-b + sq) * inv2a
+                exit_ok = ok0 & (t_exit >= t_entr + 1e-4)
+                in_range = (t_exit >= t_min) & (t_entr <= carry[0])
+                t_start = jnp.maximum(t_entr, jnp.float32(t_min))
+                t_end = jnp.minimum(t_exit, carry[0])
+                dist = neg_inv_rho * jnp.log(jnp.maximum(us[4 + vi], 1e-38))
+                ok = ok0 & exit_ok & in_range & (dist < t_end - t_start)
+                t = t_start + dist
+                carry = upd(carry, ok, t, 3, vol_m[vi], fzero, fzero,
+                            fzero, fzero, fzero, izero)
+
+            # dense meshes with corner-normal carry
+            for mi, (start, count) in enumerate(mesh_ranges):
+                r00 = mesh_xf[mi, 0]
+                r01 = mesh_xf[mi, 1]
+                r02 = mesh_xf[mi, 2]
+                r10 = mesh_xf[mi, 3]
+                r11 = mesh_xf[mi, 4]
+                r12 = mesh_xf[mi, 5]
+                r20 = mesh_xf[mi, 6]
+                r21 = mesh_xf[mi, 7]
+                r22 = mesh_xf[mi, 8]
+                tx = mesh_xf[mi, 9]
+                ty = mesh_xf[mi, 10]
+                tz = mesh_xf[mi, 11]
+                mox = r00 * sox + r01 * soy + r02 * soz + tx
+                moy = r10 * sox + r11 * soy + r12 * soz + ty
+                moz = r20 * sox + r21 * soy + r22 * soz + tz
+                mdx = r00 * sdx + r01 * sdy + r02 * sdz
+                mdy = r10 * sdx + r11 * sdy + r12 * sdz
+                mdz = r20 * sdx + r21 * sdy + r22 * sdz
+
+                def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
+                              mdx=mdx, mdy=mdy, mdz=mdz, mi=mi):
+                    carry, cn = packed
+                    ok, t, u, v = mt(
+                        mesh_tri[i, 0], mesh_tri[i, 1], mesh_tri[i, 2],
+                        mesh_tri[i, 3], mesh_tri[i, 4], mesh_tri[i, 5],
+                        mesh_tri[i, 6], mesh_tri[i, 7], mesh_tri[i, 8],
+                        mox, moy, moz, mdx, mdy, mdz, carry[0],
+                    )
+                    carry = upd(carry, ok, t, 4 + mi, mesh_meta[mi], u, v,
+                                fzero, fzero, fzero, izero)
+                    cn = tuple(
+                        jnp.where(ok, mesh_nrm[i, j], cn[j]) for j in range(9)
+                    )
+                    return carry, cn
+
+                carry, cn = jax.lax.fori_loop(
+                    start, start + count, mesh_body, (carry, tuple(cn))
+                )
+                cn = list(cn)
+
+            best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
+
+            # mesh winner: interpolate + flip + normal-matrix transform
+            for mi in range(n_mesh):
+                mask = code == 4 + mi
+                w = 1.0 - uu - vv
+                inx = uu * cn[3] + vv * cn[6] + w * cn[0]
+                iny = uu * cn[4] + vv * cn[7] + w * cn[1]
+                inz = uu * cn[5] + vv * cn[8] + w * cn[2]
+                inv_len = jax.lax.rsqrt(inx * inx + iny * iny + inz * inz + 1e-30)
+                inx = inx * inv_len
+                iny = iny * inv_len
+                inz = inz * inv_len
+                # frontface vs object-space direction
+                r00 = mesh_xf[mi, 0]
+                r01 = mesh_xf[mi, 1]
+                r02 = mesh_xf[mi, 2]
+                r10 = mesh_xf[mi, 3]
+                r11 = mesh_xf[mi, 4]
+                r12 = mesh_xf[mi, 5]
+                r20 = mesh_xf[mi, 6]
+                r21 = mesh_xf[mi, 7]
+                r22 = mesh_xf[mi, 8]
+                mdx = r00 * sdx + r01 * sdy + r02 * sdz
+                mdy = r10 * sdx + r11 * sdy + r12 * sdz
+                mdz = r20 * sdx + r21 * sdy + r22 * sdz
+                front = (inx * mdx + iny * mdy + inz * mdz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                fx = sgn * inx
+                fy = sgn * iny
+                fz = sgn * inz
+                # normal matrix = inv_transform[:3,:3]^T (cols 12..20)
+                m00 = mesh_xf[mi, 12]
+                m01 = mesh_xf[mi, 13]
+                m02 = mesh_xf[mi, 14]
+                m10 = mesh_xf[mi, 15]
+                m11 = mesh_xf[mi, 16]
+                m12 = mesh_xf[mi, 17]
+                m20 = mesh_xf[mi, 18]
+                m21 = mesh_xf[mi, 19]
+                m22 = mesh_xf[mi, 20]
+                wx = m00 * fx + m01 * fy + m02 * fz
+                wy = m10 * fx + m11 * fy + m12 * fz
+                wz = m20 * fx + m21 * fy + m22 * fz
+                inv_len = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz + 1e-30)
+                nx = jnp.where(mask, wx * inv_len, nx)
+                ny = jnp.where(mask, wy * inv_len, ny)
+                nz = jnp.where(mask, wz * inv_len, nz)
+                ff = jnp.where(mask, front.astype(jnp.int32), ff)
+
+            hit_valid = code >= 0
+
+            # ---------------- material resolve ----------------
+            mtype = izero
+            alb_r = fzero
+            alb_g = fzero
+            alb_b = fzero
+            emi_r = fzero
+            emi_g = fzero
+            emi_b = fzero
+            rough = fzero
+            metal = fzero
+            ior = jnp.full(shape, 1.5, jnp.float32)
+            for m in range(n_mat):
+                msk = mat == m
+                mtype = jnp.where(msk, mat_tab[m, 0].astype(jnp.int32), mtype)
+                alb_r = jnp.where(msk, mat_tab[m, 1], alb_r)
+                alb_g = jnp.where(msk, mat_tab[m, 2], alb_g)
+                alb_b = jnp.where(msk, mat_tab[m, 3], alb_b)
+                emi_r = jnp.where(msk, mat_tab[m, 4], emi_r)
+                emi_g = jnp.where(msk, mat_tab[m, 5], emi_g)
+                emi_b = jnp.where(msk, mat_tab[m, 6], emi_b)
+                rough = jnp.where(msk, mat_tab[m, 7], rough)
+                metal = jnp.where(msk, mat_tab[m, 8], metal)
+                ior = jnp.where(msk, mat_tab[m, 9], ior)
+
+            # ---------------- shading update ----------------
+            live_hit = alive & hit_valid
+
+            # radiance += throughput * emission  (misses add black bg)
+            rr = rr + jnp.where(live_hit, tr * emi_r, 0.0)
+            rg = rg + jnp.where(live_hit, tg * emi_g, 0.0)
+            rb = rb + jnp.where(live_hit, tb * emi_b, 0.0)
+
+            # hitpoint (affine-invariant: o + t*d for every class)
+            px = sox + best_t * sdx
+            py = soy + best_t * sdy
+            pz = soz + best_t * sdz
+
+            # ball sample from u0..u2 (sampling.ball_vec_from_uniform)
+            zb = 2.0 * us[0] - 1.0
+            phi = TWO_PI * us[1]
+            rad_b_ = jnp.exp(jnp.log(jnp.maximum(us[2], 1e-38)) * (1.0 / 3.0))
+            sb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
+            bx = rad_b_ * sb * jnp.cos(phi)
+            by = rad_b_ * sb * jnp.sin(phi)
+            bz = rad_b_ * zb
+            u_choice = us[3]
+
+            # hemisphere fold about n
+            bd = bx * nx + by * ny + bz * nz
+            hx = jnp.where(bd < 0.0, bx - 2.0 * bd * nx, bx)
+            hy = jnp.where(bd < 0.0, by - 2.0 * bd * ny, by)
+            hz = jnp.where(bd < 0.0, bz - 2.0 * bd * nz, bz)
+
+            # reflect d about n
+            ddn = sdx * nx + sdy * ny + sdz * nz
+            rxd = sdx - 2.0 * ddn * nx
+            ryd = sdy - 2.0 * ddn * ny
+            rzd = sdz - 2.0 * ddn * nz
+
+            # metal dir = reflect + roughness*ball
+            mexd = rxd + rough * bx
+            meyd = ryd + rough * by
+            mezd = rzd + rough * bz
+
+            # dielectric
+            ffb = ff > 0
+            eta = jnp.where(ffb, 1.0 / ior, ior)
+            cos_in = jnp.minimum(-(ddn), 1.0)
+            critical = eta * jnp.sqrt(jnp.maximum(1.0 - cos_in * cos_in, 0.0)) > 1.0
+            r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+            fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(ddn)) ** 5
+            # refract (tracing.rs:64-69)
+            ct = jnp.minimum(-(ddn), 1.0)
+            perp_x = eta * (sdx + ct * nx)
+            perp_y = eta * (sdy + ct * ny)
+            perp_z = eta * (sdz + ct * nz)
+            perp2 = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
+            par = -jnp.sqrt(jnp.abs(1.0 - perp2))
+            refr_x = perp_x + par * nx
+            refr_y = perp_y + par * ny
+            refr_z = perp_z + par * nz
+            will_refract = (~critical) & (u_choice >= fres)
+            diex = jnp.where(will_refract, refr_x, rxd)
+            diey = jnp.where(will_refract, refr_y, ryd)
+            diez = jnp.where(will_refract, refr_z, rzd)
+
+            # parameterized
+            r0_15 = jnp.float32(((1.5 - 1.0) / (1.5 + 1.0)) ** 2)
+            fres15 = r0_15 + (1.0 - r0_15) * (1.0 - jnp.abs(ddn)) ** 5
+            k_s = fres15 * (1.0 - rough)
+            k_d = (1.0 - k_s) * (1.0 - metal)
+            diffuse = u_choice < k_d
+            par_x = jnp.where(diffuse, hx, mexd)
+            par_y = jnp.where(diffuse, hy, meyd)
+            par_z = jnp.where(diffuse, hz, mezd)
+            par_ar = jnp.where(diffuse, alb_r / PI, 1.0 + (alb_r - 1.0) * metal)
+            par_ag = jnp.where(diffuse, alb_g / PI, 1.0 + (alb_g - 1.0) * metal)
+            par_ab = jnp.where(diffuse, alb_b / PI, 1.0 + (alb_b - 1.0) * metal)
+            par_pdf = jnp.where(diffuse, jnp.float32(1.0 / TWO_PI), 1.0)
+
+            # switch
+            is_lam = mtype == matlib.LAMBERTIAN
+            is_met = mtype == matlib.METAL
+            is_die = mtype == matlib.DIELECTRIC
+            is_par = mtype == matlib.PARAMETERIZED
+            is_iso = mtype == matlib.ISOTROPIC
+
+            ndx = jnp.where(is_met, mexd, hx)
+            ndy = jnp.where(is_met, meyd, hy)
+            ndz = jnp.where(is_met, mezd, hz)
+            ndx = jnp.where(is_die, diex, ndx)
+            ndy = jnp.where(is_die, diey, ndy)
+            ndz = jnp.where(is_die, diez, ndz)
+            ndx = jnp.where(is_par, par_x, ndx)
+            ndy = jnp.where(is_par, par_y, ndy)
+            ndz = jnp.where(is_par, par_z, ndz)
+            ndx = jnp.where(is_iso, bx, ndx)
+            ndy = jnp.where(is_iso, by, ndy)
+            ndz = jnp.where(is_iso, bz, ndz)
+
+            inv_pi = jnp.float32(1.0 / PI)
+            atr = jnp.where(is_lam, alb_r * inv_pi, alb_r)
+            atg = jnp.where(is_lam, alb_g * inv_pi, alb_g)
+            atb = jnp.where(is_lam, alb_b * inv_pi, alb_b)
+            atr = jnp.where(is_die, 1.0, atr)
+            atg = jnp.where(is_die, 1.0, atg)
+            atb = jnp.where(is_die, 1.0, atb)
+            atr = jnp.where(is_par, par_ar, atr)
+            atg = jnp.where(is_par, par_ag, atg)
+            atb = jnp.where(is_par, par_ab, atb)
+
+            pdf = jnp.where(is_lam, jnp.float32(1.0 / TWO_PI), 1.0)
+            pdf = jnp.where(is_par, par_pdf, pdf)
+
+            # dot term (tracing.rs:313): |new_dir . n| clamped; 1 when
+            # the normal is zero (volume scatter)
+            n2 = nx * nx + ny * ny + nz * nz
+            dot_nd = jnp.abs(ndx * nx + ndy * ny + ndz * nz)
+            dot_term = jnp.where(n2 > 0.0, jnp.clip(dot_nd, 0.0, 1.0), 1.0)
+            fac = dot_term / pdf
+
+            tr = jnp.where(live_hit, tr * fac * atr, tr)
+            tg = jnp.where(live_hit, tg * fac * atg, tg)
+            tb = jnp.where(live_hit, tb * fac * atb, tb)
+            sox = jnp.where(live_hit, px, sox)
+            soy = jnp.where(live_hit, py, soy)
+            soz = jnp.where(live_hit, pz, soz)
+            sdx = jnp.where(live_hit, ndx, sdx)
+            sdy = jnp.where(live_hit, ndy, sdy)
+            sdz = jnp.where(live_hit, ndz, sdz)
+            segs = segs + alive.astype(jnp.float32)
+            alive = live_hit
+
+            return (sox, soy, soz, sdx, sdy, sdz,
+                    tr, tg, tb, rr, rg, rb, alive, segs)
+
+        state = jax.lax.fori_loop(0, path_depth, bounce, state)
+        (_, _, _, _, _, _, _, _, _, rr, rg, rb, _, segs) = state
+        rad_r[:] = rr
+        rad_g[:] = rg
+        rad_b[:] = rb
+        seg_out[:] = segs
+
+    return kernel
+
+
+def build_bounce_tables(scene):
+    """Extra SMEM tables the mega kernel needs beyond SceneData's k*:
+    mesh_xf extended with the normal matrix, concatenated corner normals,
+    per-mesh material ids, and the material parameter table.
+
+    Pure jnp on tiny arrays — safe to call inside jit (the driver builds
+    these at trace time; XLA constant-folds them per compiled scene shape).
+    """
+    rows = []
+    nrms = []
+    metas = []
+    for mi in scene.dense_mesh_ids:
+        m = scene.meshes[mi]
+        inv = jnp.asarray(m.inv_transform)
+        rows.append(
+            jnp.concatenate(
+                [
+                    inv[:3, :3].reshape(-1),
+                    inv[:3, 3],
+                    jnp.asarray(m.normal_mat).reshape(-1),
+                ]
+            )
+        )
+        nrms.append(jnp.asarray(m.tri_normals).reshape(-1, 9))
+        metas.append(m.mat_id)
+    mesh_xf = (
+        jnp.stack(rows) if rows else jnp.zeros((1, 21), jnp.float32)
+    )
+    mesh_nrm = (
+        jnp.concatenate(nrms, axis=0) if nrms else jnp.zeros((1, 9), jnp.float32)
+    )
+    mesh_meta = jnp.asarray(metas if metas else [0], jnp.int32)
+
+    mat_tab = jnp.concatenate(
+        [
+            jnp.asarray(scene.mat_type, jnp.float32)[:, None],
+            scene.mat_albedo,
+            scene.mat_emission,
+            scene.mat_roughness[:, None],
+            scene.mat_metallic[:, None],
+            scene.mat_ior[:, None],
+        ],
+        axis=1,
+    )
+    return dict(
+        mesh_xf=mesh_xf, mesh_nrm=mesh_nrm, mesh_meta=mesh_meta, mat_tab=mat_tab
+    )
+
+
+def path_trace_pallas(
+    scene,
+    tables: dict,
+    o,
+    d,
+    uids,
+    rng_key,
+    path_depth: int,
+    max_trace_dist: float,
+    t_min: float = 0.001,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: bool = False,
+):
+    """Run the mega-bounce kernel over N primary rays.
+
+    Args:
+      scene: compiled SceneData passing `scene_is_simple`.
+      tables: build_bounce_tables(scene) result (device arrays).
+      o, d: (N, 3); uids (N,) int32; rng_key (2,) uint32.
+
+    Returns (radiance (N, 3), segments scalar).
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    n = o.shape[0]
+    block = block_rows * LANES
+    n_pad = (n + block - 1) // block * block
+    grid = n_pad // block
+
+    def plane(x, dtype=jnp.float32):
+        x = jnp.broadcast_to(jnp.asarray(x, dtype), (n,))
+        return jnp.pad(x, (0, n_pad - n)).reshape(n_pad // LANES, LANES)
+
+    planes = [
+        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+        plane(uids, jnp.int32),
+    ]
+
+    counts = dict(
+        n_sph=scene.n_spheres,
+        n_pln=scene.n_planes,
+        n_tri=scene.n_tris,
+        n_vol=scene.n_volumes,
+        mesh_ranges=scene.kmesh_ranges,
+        n_mat=int(scene.mat_type.shape[0]),
+    )
+    kernel = _make_kernel(
+        counts, path_depth=path_depth, t_min=t_min, max_dist=max_trace_dist
+    )
+
+    ray_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    fshape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
+
+    rr, rg, rb, segs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[smem] * 14 + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        out_shape=[fshape] * 4,
+        interpret=interpret,
+    )(
+        rng_key,
+        scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
+        scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
+        tables["mesh_xf"], scene.kmesh_tri, tables["mesh_nrm"],
+        tables["mesh_meta"], tables["mat_tab"],
+        *planes,
+    )
+    radiance = jnp.stack(
+        [rr.reshape(-1)[:n], rg.reshape(-1)[:n], rb.reshape(-1)[:n]], axis=-1
+    )
+    # padded lanes were alive rays shooting d=0 — exclude their segments
+    segments = jnp.sum(segs.reshape(-1)[:n])
+    return radiance, segments

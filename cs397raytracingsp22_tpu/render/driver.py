@@ -107,9 +107,20 @@ def render_chunk_core(
         )
         segments = jnp.asarray(float(o.shape[0]), jnp.float32)
     else:
-        radiance, segments = integrator.path_trace(
-            scene, o, d, uids, rng_key, camera.path_depth, camera.max_trace_dist
-        )
+        from cs397raytracingsp22_tpu.ops.intersect import _use_pallas
+        from cs397raytracingsp22_tpu.ops.pallas import bounce as bounce_kernel
+
+        if _use_pallas() and bounce_kernel.scene_is_simple(scene):
+            # Mega-bounce kernel: the whole path-trace loop in VMEM.
+            tables = bounce_kernel.build_bounce_tables(scene)
+            radiance, segments = bounce_kernel.path_trace_pallas(
+                scene, tables, o, d, uids, rng_key,
+                camera.path_depth, camera.max_trace_dist,
+            )
+        else:
+            radiance, segments = integrator.path_trace(
+                scene, o, d, uids, rng_key, camera.path_depth, camera.max_trace_dist
+            )
 
     radiance = radiance.reshape(n_px, spp * n_chains, 3)
     return jnp.sum(radiance, axis=1) / n_chains, segments

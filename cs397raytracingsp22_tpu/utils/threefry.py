@@ -19,7 +19,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+# plain int, not jnp.uint32: module-level device constants would
+# initialize the backend at import time (see ops/intersect._BIG)
+_PARITY = 0x1BD11BDA
 
 
 def _rotl(x, r):
@@ -33,7 +35,7 @@ def threefry2x32(k0, k1, c0, c1):
     """
     k0 = jnp.asarray(k0, jnp.uint32)
     k1 = jnp.asarray(k1, jnp.uint32)
-    ks2 = k0 ^ k1 ^ _PARITY
+    ks2 = k0 ^ k1 ^ jnp.uint32(_PARITY)
     x0 = jnp.asarray(c0, jnp.uint32) + k0
     x1 = jnp.asarray(c1, jnp.uint32) + k1
 

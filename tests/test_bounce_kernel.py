@@ -1,0 +1,110 @@
+"""Mega-bounce kernel vs the jnp integrator (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cs397raytracingsp22_tpu.ops.pallas import bounce
+from cs397raytracingsp22_tpu.render import integrator
+from cs397raytracingsp22_tpu.utils import threefry
+from scenes import cornell
+
+
+@pytest.fixture(scope="module")
+def bench_like_scene():
+    """Cornell walls + spheres + light + a small mesh with explicit
+    material — everything the mega kernel supports."""
+    from cs397raytracingsp22_tpu import Lambertian, Metal, Scene
+    from cs397raytracingsp22_tpu.models import transform as tf
+    from tests.test_mesh import make_mesh
+
+    base = cornell.build_config3(width=16, height=16, spp=4, path_depth=4)
+    mesh = make_mesh(
+        [[-1.0, 0.0, -1.0], [1.0, 0.0, -1.0], [0.0, 1.5, -1.0]],
+        [[0, 1, 2]],
+        material=Metal(albedo=(0.7, 0.7, 0.9), roughness=0.15),
+        transform=tf.translate(0.0, 0.4, 0.4) @ tf.rotate_y(25.0),
+    )
+    scene = Scene(camera=base.camera, objects=list(base.objects) + [mesh])
+    return scene
+
+
+def test_scene_qualifies(bench_like_scene):
+    data = bench_like_scene.compile()
+    assert bounce.scene_is_simple(data)
+
+
+def test_textured_scene_disqualified():
+    from scenes import textured_spheres
+
+    data = textured_spheres.build(width=8, height=8, spp=1).compile()
+    assert not bounce.scene_is_simple(data)
+
+
+@pytest.mark.slow
+def test_kernel_matches_jnp_integrator(bench_like_scene):
+    scene = bench_like_scene
+    data = scene.compile()
+    tables = bounce.build_bounce_tables(data)
+
+    n = 512
+    key = threefry.key_words(123)
+    o, d = scene.camera.generate_rays(
+        key, jnp.arange(n // 4, dtype=jnp.int32), spp=4
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    uids = jnp.arange(n, dtype=jnp.int32)
+
+    ref_rad, ref_segs = integrator.path_trace(
+        data, o, d, uids, key, 4, scene.camera.max_trace_dist
+    )
+    out_rad, out_segs = bounce.path_trace_pallas(
+        data, tables, o, d, uids, key, 4, scene.camera.max_trace_dist
+    )
+
+    ref = np.asarray(ref_rad)
+    out = np.asarray(out_rad)
+    # identical RNG + identical estimator → near-bitwise agreement (the
+    # kernel's rsqrt-based normalize differs at float ulp level)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(out_segs), float(ref_segs))
+
+
+@pytest.mark.slow
+def test_kernel_volume_scene():
+    """Volumes (zero-normal hits, free-flight RNG) through the kernel."""
+    from cs397raytracingsp22_tpu import (
+        Camera, ConvexVolume, Isotropic, Lambertian, Plane, Scene, Sphere,
+    )
+
+    scene = Scene(
+        camera=Camera(screen_width=8, screen_height=8, aa_sample_count=4),
+        objects=[
+            Plane(point=(0, 0, 0), normal=(0, 1, 0), material=Lambertian()),
+            Sphere(center=(0, 8, -3), radius=2.0,
+                   material=Lambertian(albedo=(0, 0, 0), emission=(4, 4, 4))),
+            ConvexVolume(
+                boundary=Sphere(center=(0, 1.5, -3), radius=1.0, material=Lambertian()),
+                phase_function=Isotropic(albedo=(0.9, 0.9, 0.9)),
+                density=1.5,
+            ),
+        ],
+    )
+    data = scene.compile()
+    assert bounce.scene_is_simple(data)
+    tables = bounce.build_bounce_tables(data)
+
+    key = threefry.key_words(9)
+    n = 256
+    o = jnp.tile(jnp.asarray([[0.0, 1.5, 2.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    uids = jnp.arange(n, dtype=jnp.int32)
+
+    ref_rad, ref_segs = integrator.path_trace(data, o, d, uids, key, 6, 100.0)
+    out_rad, out_segs = bounce.path_trace_pallas(data, tables, o, d, uids, key, 6, 100.0)
+    np.testing.assert_allclose(
+        np.asarray(out_rad), np.asarray(ref_rad), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(float(out_segs), float(ref_segs))
