@@ -114,18 +114,21 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
         k1 = key_ref[1]
         uid_u = uid[:].astype(jnp.uint32)
 
+        # Loop carries must start as materialized vectors (derived from a
+        # load), not splat constants — Mosaic rejects carries whose layout
+        # flips from replicated to non-replicated across iterations.
+        vec0 = ox[:] * 0.0
+        vec1 = vec0 + 1.0
         fzero = jnp.zeros(shape, jnp.float32)
         izero = jnp.zeros(shape, jnp.int32)
 
         state = (
             ox[:], oy[:], oz[:],          # origin
             dx[:], dy[:], dz[:],          # direction
-            jnp.ones(shape, jnp.float32),  # throughput rgb
-            jnp.ones(shape, jnp.float32),
-            jnp.ones(shape, jnp.float32),
-            fzero, fzero, fzero,           # radiance rgb
-            jnp.ones(shape, jnp.bool_),    # alive
-            fzero,                         # segments
+            vec1, vec1, vec1,              # throughput rgb
+            vec0, vec0, vec0,              # radiance rgb
+            vec0 == 0.0,                   # alive (all true, vector layout)
+            vec0,                          # segments
         )
 
         def bounce(depth, state):
@@ -260,7 +263,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
                 carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
 
             # bounce RNG (drawn before volumes need it)
-            site = (jnp.uint32(SITE_BOUNCE0) + depth.astype(jnp.uint32))
+            site = jnp.uint32(SITE_BOUNCE0 + depth)
             us = _uniforms(k0, k1, uid_u, site, 4 + max(n_vol, 1))
 
             for vi in range(n_vol):
@@ -540,7 +543,11 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
             return (sox, soy, soz, sdx, sdy, sdz,
                     tr, tg, tb, rr, rg, rb, alive, segs)
 
-        state = jax.lax.fori_loop(0, path_depth, bounce, state)
+        # Unrolled: path_depth is static, and Mosaic cannot legalize an
+        # scf.for with this carry structure (bool + 14 vectors). Unrolling
+        # also lets the compiler specialize bounce 0 (throughput == 1).
+        for depth in range(path_depth):
+            state = bounce(depth, state)
         (_, _, _, _, _, _, _, _, _, rr, rg, rb, _, segs) = state
         rad_r[:] = rr
         rad_g[:] = rg
