@@ -91,16 +91,20 @@ def main():
     rad, segs = render_chunk(data, cam, pixel_ids, key, jnp.int32(0), spp, 1)
     jax.block_until_ready(rad)
 
-    # Timed steady-state passes over the full image.
+    # Timed steady-state passes over the full image. Segment counts stay
+    # on device until the end — a float() per chunk would serialize the
+    # dispatch pipeline.
     n_chunks = (n_px + chunk_px - 1) // chunk_px
+    base_ids = jnp.arange(chunk_px, dtype=jnp.int32)
     t0 = time.perf_counter()
-    total_segments = 0.0
+    seg_list = []
     for ci in range(n_chunks):
-        ids = (jnp.arange(chunk_px, dtype=jnp.int32) + ci * chunk_px) % n_px
+        ids = (base_ids + ci * chunk_px) % n_px
         rad, segs = render_chunk(data, cam, ids, key, jnp.int32(0), spp, 1)
-        total_segments += float(segs)
-    jax.block_until_ready(rad)
+        seg_list.append(segs)
+    jax.block_until_ready(seg_list)
     wall = time.perf_counter() - t0
+    total_segments = float(sum(float(s) for s in seg_list))
 
     mrays = total_segments / wall / 1e6
     print(

@@ -37,6 +37,7 @@ SceneObject = Union[Sphere, Triangle, Plane, ConvexVolume, StaticMesh]
     data_fields=[
         "tri_verts",
         "tri_table",
+        "tri_chunks",
         "tri_normals",
         "tri_uvs",
         "tri_tangent",
@@ -62,6 +63,7 @@ class MeshBlock:
 
     tri_verts: jnp.ndarray  # (NT, 3, 3) object-space corners
     tri_table: jnp.ndarray  # (NT, 9) [a, b-a, c-a] rows for the scan kernel
+    tri_chunks: jnp.ndarray  # (C, 9, 8, 1) sublane-chunked table (big-mesh kernel)
     tri_normals: jnp.ndarray  # (NT, 3, 3) per-corner normals
     tri_uvs: jnp.ndarray  # (NT, 3, 2) per-corner texcoords
     tri_tangent: jnp.ndarray  # (NT, 3) per-triangle tangent approx
@@ -417,9 +419,12 @@ def _compile_mesh(
         [rv[:, 0], rv[:, 1] - rv[:, 0], rv[:, 2] - rv[:, 0]], axis=1
     ).astype(np.float32)
 
+    from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import pack_tri_chunks
+
     return MeshBlock(
         tri_verts=jnp.asarray(verts[order]),
         tri_table=jnp.asarray(tri_table),
+        tri_chunks=jnp.asarray(pack_tri_chunks(tri_table)),
         tri_normals=jnp.asarray(normals[order]),
         tri_uvs=jnp.asarray(uvs[order]),
         tri_tangent=jnp.asarray(tangent[order].astype(np.float32)),

@@ -522,10 +522,12 @@ def intersect_scene_fused(
         mesh = scene.meshes[mi]
         o_obj = _transform_point(mesh.inv_transform, o)
         d_obj = _transform_vector(mesh.inv_transform, d)
-        hit_m, t_m, tri_m, u_m, v_m = bvhlib.traverse(
-            o_obj, d_obj, t_min, t_max,
-            mesh.bounds_min, mesh.bounds_max, mesh.skip,
-            mesh.leaf_start, mesh.leaf_count, mesh.tri_verts, mesh.leaf_size,
+        from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import (
+            tri_scan_big_pallas,
+        )
+
+        hit_m, t_m, tri_m, u_m, v_m = tri_scan_big_pallas(
+            o_obj, d_obj, mesh.tri_chunks, mesh.tri_verts.shape[0], t_min, t_max
         )
         better = hit_m & (t_m < t)
         t = jnp.where(better, t_m, t)

@@ -111,3 +111,41 @@ def test_fused_per_ray_bounds():
     np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
     m = np.asarray(ref.valid)
     np.testing.assert_allclose(np.asarray(out.t)[m], np.asarray(ref.t)[m], rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_big_mesh_kernel_matches_traverse():
+    """tri_scan_big (VMEM-table dense kernel) vs BVH traversal on a
+    synthetic 1k-triangle mesh."""
+    import numpy as np
+
+    from cs397raytracingsp22_tpu.ops import bvh as bvhlib
+    from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import (
+        pack_tri_chunks,
+        tri_scan_big_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-4, 4, size=(1001, 1, 3))
+    tris = (centers + rng.uniform(-0.4, 0.4, size=(1001, 3, 3))).astype(np.float32)
+    table = np.concatenate(
+        [tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]], axis=1
+    ).astype(np.float32)
+    chunks = jnp.asarray(pack_tri_chunks(table))
+
+    o = rng.uniform(-8, 8, size=(300, 3)).astype(np.float32)
+    targets = tris[rng.integers(0, len(tris), 300)].mean(axis=1)
+    d = (targets - o).astype(np.float32)
+
+    hb, tb, ib, ub, vb = bvhlib.intersect_tris_bruteforce(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(tris), 0.001, 100.0
+    )
+    hp, tp, ip, up, vp = tri_scan_big_pallas(
+        jnp.asarray(o), jnp.asarray(d), chunks, 1001, 0.001, 100.0
+    )
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hp))
+    m = np.asarray(hb)
+    assert m.sum() > 100
+    np.testing.assert_allclose(np.asarray(tb)[m], np.asarray(tp)[m], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ib)[m], np.asarray(ip)[m])
+    np.testing.assert_allclose(np.asarray(ub)[m], np.asarray(up)[m], atol=2e-4)
