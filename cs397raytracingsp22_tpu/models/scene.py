@@ -120,6 +120,7 @@ _SCENE_DATA_FIELDS = [
     "kvol_m",
     "kmesh_xf",
     "kmesh_tri",
+    "ksl_bounds",
 ]
 
 
@@ -132,6 +133,7 @@ _SCENE_DATA_FIELDS = [
         "n_tris",
         "n_volumes",
         "kmesh_ranges",
+        "ksl_ranges",
         "dense_mesh_ids",
     ],
 )
@@ -192,6 +194,7 @@ class SceneData:
     kvol_m: jnp.ndarray
     kmesh_xf: jnp.ndarray
     kmesh_tri: jnp.ndarray
+    ksl_bounds: jnp.ndarray  # (NSL, 6) superleaf AABBs (epsilon-padded)
     # static actual counts (arrays are padded)
     n_spheres: int
     n_planes: int
@@ -200,6 +203,7 @@ class SceneData:
     # dense meshes: (start, count) ranges into kmesh_tri + their indices
     # into `meshes` (static)
     kmesh_ranges: Tuple[Tuple[int, int], ...]
+    ksl_ranges: Tuple[Tuple[int, int], ...]  # per dense mesh: (first superleaf, count)
     dense_mesh_ids: Tuple[int, ...]
 
 
@@ -338,6 +342,34 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         else np.zeros((1, 9), np.float32)
     )
 
+    # Superleaf AABBs: consecutive groups of SL triangles in BVH order
+    # (spatially coherent since they are sibling leaves). Used by the
+    # mega-bounce kernel for tile-level culling: a block of rays skips a
+    # superleaf's triangle tests entirely when no ray's slab test hits.
+    # Bounds are epsilon-padded so the strict slab inequality can never
+    # reject a degenerate (flat) group that a triangle test would hit.
+    SL = 16
+    sl_bounds = []
+    sl_ranges = []  # per dense mesh: (first superleaf, count)
+    for start, count in ranges:
+        first = len(sl_bounds)
+        for s0 in range(0, count, SL):
+            rows = kmesh_tri[start + s0 : start + min(s0 + SL, count)]
+            a = rows[:, 0:3]
+            b = a + rows[:, 3:6]
+            c = a + rows[:, 6:9]
+            pts = np.concatenate([a, b, c], axis=0)
+            lo = pts.min(axis=0)
+            hi = pts.max(axis=0)
+            pad = 1e-4 + 1e-4 * np.abs(np.stack([lo, hi])).max(axis=0)
+            sl_bounds.append(np.concatenate([lo - pad, hi + pad]))
+        sl_ranges.append((first, len(sl_bounds) - first))
+    ksl_bounds = (
+        np.stack(sl_bounds).astype(np.float32)
+        if sl_bounds
+        else np.zeros((1, 6), np.float32)
+    )
+
     return SceneData(
         mat_type=jnp.asarray(table["mat_type"]),
         mat_albedo=jnp.asarray(table["mat_albedo"]),
@@ -376,11 +408,13 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         kvol_m=i32(vol_mat),
         kmesh_xf=jnp.asarray(mesh_xf),
         kmesh_tri=jnp.asarray(kmesh_tri),
+        ksl_bounds=jnp.asarray(ksl_bounds),
         n_spheres=len(sph_center),
         n_planes=len(pln_point),
         n_tris=len(tri_a),
         n_volumes=len(vol_center),
         kmesh_ranges=tuple(ranges),
+        ksl_ranges=tuple(sl_ranges),
         dense_mesh_ids=dense_ids,
     )
 

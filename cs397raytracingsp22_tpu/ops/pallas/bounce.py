@@ -103,7 +103,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
 
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
-        mesh_xf, mesh_tri, mesh_nrm, mesh_meta, mat_tab,
+        mesh_xf, mesh_tri, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
         ox, oy, oz, dx, dy, dz, uid,
         rad_r, rad_g, rad_b, seg_out,
     ):
@@ -293,7 +293,12 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
                 carry = upd(carry, ok, t, 3, vol_m[vi], fzero, fzero,
                             fzero, fzero, fzero, izero)
 
-            # dense meshes with corner-normal carry
+            # dense meshes with corner-normal carry and superleaf culling:
+            # the triangle tests of a 16-tri group run only when at least
+            # one ray in the block hits the group's (padded) AABB closer
+            # than its current best — tile-level hierarchy without
+            # per-lane control flow.
+            sl_ranges = counts["sl_ranges"]
             for mi, (start, count) in enumerate(mesh_ranges):
                 r00 = mesh_xf[mi, 0]
                 r01 = mesh_xf[mi, 1]
@@ -330,8 +335,46 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
                     )
                     return carry, cn
 
+                sl_first, sl_count = sl_ranges[mi]
+                inv_mdx = 1.0 / mdx
+                inv_mdy = 1.0 / mdy
+                inv_mdz = 1.0 / mdz
+
+                def sl_body(s, packed, mox=mox, moy=moy, moz=moz,
+                            inv_mdx=inv_mdx, inv_mdy=inv_mdy, inv_mdz=inv_mdz,
+                            mesh_body=mesh_body, start=start, count=count,
+                            sl_first=sl_first):
+                    carry, cn = packed
+                    row = sl_first + s
+                    t0x = (sl_bounds[row, 0] - mox) * inv_mdx
+                    t1x = (sl_bounds[row, 3] - mox) * inv_mdx
+                    t0y = (sl_bounds[row, 1] - moy) * inv_mdy
+                    t1y = (sl_bounds[row, 4] - moy) * inv_mdy
+                    t0z = (sl_bounds[row, 2] - moz) * inv_mdz
+                    t1z = (sl_bounds[row, 5] - moz) * inv_mdz
+                    lox = jnp.minimum(t0x, t1x)
+                    hix = jnp.maximum(t0x, t1x)
+                    loy = jnp.minimum(t0y, t1y)
+                    hiy = jnp.maximum(t0y, t1y)
+                    loz = jnp.minimum(t0z, t1z)
+                    hiz = jnp.maximum(t0z, t1z)
+                    tlo = jnp.maximum(
+                        jnp.maximum(lox, loy), jnp.maximum(loz, jnp.float32(t_min))
+                    )
+                    thi = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, carry[0]))
+                    any_hit = jnp.sum((thi > tlo).astype(jnp.float32)) > 0.0
+
+                    lo_i = start + s * 16
+                    hi_i = jnp.minimum(lo_i + 16, start + count)
+                    return jax.lax.cond(
+                        any_hit,
+                        lambda p: jax.lax.fori_loop(lo_i, hi_i, mesh_body, p),
+                        lambda p: p,
+                        packed,
+                    )
+
                 carry, cn = jax.lax.fori_loop(
-                    start, start + count, mesh_body, (carry, tuple(cn))
+                    0, sl_count, sl_body, (carry, tuple(cn))
                 )
                 cn = list(cn)
 
@@ -650,6 +693,7 @@ def path_trace_pallas(
         n_tri=scene.n_tris,
         n_vol=scene.n_volumes,
         mesh_ranges=scene.kmesh_ranges,
+        sl_ranges=scene.ksl_ranges,
         n_mat=int(scene.mat_type.shape[0]),
     )
     kernel = _make_kernel(
@@ -665,7 +709,7 @@ def path_trace_pallas(
     rr, rg, rb, segs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[smem] * 14 + [ray_spec] * 7,
+        in_specs=[smem] * 15 + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
         out_shape=[fshape] * 4,
         interpret=interpret,
@@ -674,7 +718,7 @@ def path_trace_pallas(
         scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
         scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
         tables["mesh_xf"], scene.kmesh_tri, tables["mesh_nrm"],
-        tables["mesh_meta"], tables["mat_tab"],
+        tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
         *planes,
     )
     radiance = jnp.stack(
