@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 MT_EPSILON = 1e-4
 LANES = 128
-DEFAULT_BLOCK_ROWS = 32
+DEFAULT_BLOCK_ROWS = 16  # measured optimum on v5e (see bounce.py)
 
 CODE_SPHERE = 0
 CODE_PLANE = 1

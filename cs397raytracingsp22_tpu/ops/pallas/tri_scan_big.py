@@ -78,8 +78,13 @@ def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, tmn, tmx, bt, bu, bv, bid,
             chunk_best = jnp.min(t_m, axis=0, keepdims=True)  # (1, 128)
             better = chunk_best < best_t
             sel = (t_m == chunk_best) & ok
-            # first winner within the chunk (mask later duplicates)
-            first = sel & (jnp.cumsum(sel.astype(jnp.int32), axis=0) == 1)
+            # unique winner within the chunk: tri ids are distinct, so
+            # the min id among tied-t candidates picks exactly one
+            # (Mosaic has no cumsum to do a "first true" scan)
+            id_sel = jnp.min(
+                jnp.where(sel, tri_ids, jnp.int32(1 << 30)), axis=0, keepdims=True
+            )
+            first = sel & (tri_ids == id_sel)
             fsel = first.astype(jnp.float32)
             u_pick = jnp.sum(u * fsel, axis=0, keepdims=True)
             v_pick = jnp.sum(v * fsel, axis=0, keepdims=True)

@@ -178,9 +178,11 @@ def render_to_image(
         scene_data = scene.compile()
 
     if pixel_chunk is None:
-        # Budget ~2M chains per device batch.
+        # Budget ~16M chains per device batch — big dispatches pipeline
+        # Pallas grid blocks and amortize dispatch latency (measured 2×
+        # on the remote-TPU link vs 2M-ray chunks).
         per_px_rays = max(1, spp * n_chains)
-        pixel_chunk = max(1, min(n_px_total, (2 << 20) // per_px_rays))
+        pixel_chunk = max(1, min(n_px_total, (1 << 24) // per_px_rays))
     if spp_chunk is None:
         spp_chunk = spp
     spp_chunk = min(spp_chunk, spp)
@@ -241,13 +243,18 @@ def render_to_image(
             total_segments += float(segs)
             accum[ci * pixel_chunk : ci * pixel_chunk + n_valid] += rad_sum[:n_valid]
             if verbose:
+                # progress with elapsed/ETA (the reference's indicatif bar,
+                # tracing.rs:223-224)
                 done_frac = (
                     (s0 - spp_done + s_count) * (ci + 1) / n_pixel_chunks
-                    + 0.0
                 ) / max(1, spp - spp_done)
+                done_frac = min(1.0, max(1e-9, done_frac))
+                elapsed = time.perf_counter() - t_start
+                eta = elapsed / done_frac - elapsed
                 print(
                     f"\r[render] spp {s0 + s_count}/{spp}, chunk "
-                    f"{ci + 1}/{n_pixel_chunks} ({100 * min(1.0, done_frac):.0f}%)",
+                    f"{ci + 1}/{n_pixel_chunks} ({100 * done_frac:.0f}%, "
+                    f"elapsed {elapsed:.1f}s, eta {eta:.1f}s)",
                     end="",
                     flush=True,
                 )

@@ -94,3 +94,42 @@ def hemisphere_vec(ball: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
 def hemisphere_pdf() -> float:
     """Directional pdf of hemisphere_vec: 1/(2π) (materials.rs:177)."""
     return 1.0 / TWO_PI
+
+
+def alpha_sample(u: jnp.ndarray, normal: jnp.ndarray, alpha: float = 1.0):
+    """Cosine-power-lobe sample about `normal` (materials.rs:181-193).
+
+    Present for API parity — the reference defines but never uses it.
+    u: (..., 2) uniforms. Returns (direction, pdf); the lobe is generated
+    about +z and rotated to `normal` via a Rodrigues rotation (the
+    cgmath Basis3::between_vectors equivalent).
+    """
+    cos_theta = u[..., 0] ** (1.0 / (alpha + 1.0))
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = TWO_PI * u[..., 1]
+    local = jnp.stack(
+        [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], axis=-1
+    )
+    z = jnp.zeros_like(normal)
+    z = z.at[..., 2].set(1.0)
+    # rotate +z to normal: v' = v cosA + (k×v) sinA + k (k·v)(1−cosA)
+    k = jnp.cross(z, normal)
+    s = jnp.sqrt(jnp.sum(k * k, axis=-1, keepdims=True))
+    c = jnp.sum(z * normal, axis=-1, keepdims=True)
+    k_unit = k / jnp.maximum(s, 1e-20)
+    kv = jnp.cross(k_unit, local)
+    kdv = jnp.sum(k_unit * local, axis=-1, keepdims=True)
+    rotated = local * c + kv * s + k_unit * kdv * (1.0 - c)
+    direction = jnp.where(s > 1e-12, rotated, jnp.where(c >= 0, local, -local))
+    pdf = (alpha + 1.0) * cos_theta**alpha / TWO_PI
+    return direction, pdf
+
+
+def rtow_sample(ball: jnp.ndarray, hitpoint: jnp.ndarray, normal: jnp.ndarray):
+    """Ray Tracing in One Weekend-style sample (materials.rs:196-199).
+
+    Present for API parity (unused by the reference): returns
+    (hitpoint + normal + ball_vec, 1/(2π)) — note the reference returns a
+    *point*, not a direction, exactly as written there.
+    """
+    return hitpoint + normal + ball, 1.0 / TWO_PI
