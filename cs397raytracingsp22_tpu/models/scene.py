@@ -63,7 +63,7 @@ class MeshBlock:
 
     tri_verts: jnp.ndarray  # (NT, 3, 3) object-space corners
     tri_table: jnp.ndarray  # (NT, 9) [a, b-a, c-a] rows for the scan kernel
-    tri_chunks: jnp.ndarray  # (C, 9, 8, 1) sublane-chunked table (big-mesh kernel)
+    tri_chunks: jnp.ndarray  # (C, 8, 9) sublane-chunked table (big-mesh kernel)
     tri_normals: jnp.ndarray  # (NT, 3, 3) per-corner normals
     tri_uvs: jnp.ndarray  # (NT, 3, 2) per-corner texcoords
     tri_tangent: jnp.ndarray  # (NT, 3) per-triangle tangent approx

@@ -30,7 +30,9 @@ DEFAULT_BLOCK_ROWS = 8  # rays per block = 8 * 128
 
 def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, tmn, tmx, bt, bu, bv, bid,
             *, n_chunks, n_tris, block_rows):
-    """tri_ref: (C, 9, 8, 1) VMEM; ray planes (block_rows, 128)."""
+    """tri_ref: (C, 8, 9) VMEM — chunk × triangle-sublane × component-lane
+    (the lane dim pads 9→128; a trailing dim of 1 would pad the SUBLANE
+    data 128× and blow VMEM). Ray planes (block_rows, 128)."""
 
     def row_body(r, _):
         o_x = ox[r, :][None, :]  # (1, 128)
@@ -45,15 +47,15 @@ def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, tmn, tmx, bt, bu, bv, bid,
 
         def chunk_body(c, carry):
             best_t, best_u, best_v, best_id = carry  # (1, 128) each
-            ax = tri_ref[c, 0]  # (8, 1)
-            ay = tri_ref[c, 1]
-            az = tri_ref[c, 2]
-            e1x = tri_ref[c, 3]
-            e1y = tri_ref[c, 4]
-            e1z = tri_ref[c, 5]
-            e2x = tri_ref[c, 6]
-            e2y = tri_ref[c, 7]
-            e2z = tri_ref[c, 8]
+            ax = tri_ref[c, :, 0:1]  # (8, 1)
+            ay = tri_ref[c, :, 1:2]
+            az = tri_ref[c, :, 2:3]
+            e1x = tri_ref[c, :, 3:4]
+            e1y = tri_ref[c, :, 4:5]
+            e1z = tri_ref[c, :, 5:6]
+            e2x = tri_ref[c, :, 6:7]
+            e2y = tri_ref[c, :, 7:8]
+            e2z = tri_ref[c, :, 8:9]
 
             qx = d_y * e2z - d_z * e2y  # (8, 128)
             qy = d_z * e2x - d_x * e2z
@@ -182,9 +184,9 @@ def tri_scan_big_pallas(
 
 
 def pack_tri_chunks(tri_table: np.ndarray) -> np.ndarray:
-    """(T, 9) [a, e1, e2] rows → (C, 9, 8, 1) sublane-chunked layout."""
+    """(T, 9) [a, e1, e2] rows → (C, 8, 9) sublane-chunked layout."""
     t = tri_table.shape[0]
     c = (t + 7) // 8
     padded = np.zeros((c * 8, 9), np.float32)
     padded[:t] = tri_table
-    return padded.reshape(c, 8, 9).transpose(0, 2, 1)[..., None].copy()
+    return padded.reshape(c, 8, 9).copy()

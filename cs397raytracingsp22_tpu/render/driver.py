@@ -178,11 +178,21 @@ def render_to_image(
         scene_data = scene.compile()
 
     if pixel_chunk is None:
-        # Budget ~16M chains per device batch — big dispatches pipeline
-        # Pallas grid blocks and amortize dispatch latency (measured 2×
-        # on the remote-TPU link vs 2M-ray chunks).
+        # Budget per dispatch by WORK (ray-segments × primitive tests),
+        # not just ray count: big dispatches pipeline Pallas grid blocks
+        # and amortize dispatch latency (measured 2× vs small chunks),
+        # but a dispatch that runs for minutes trips device timeouts.
         per_px_rays = max(1, spp * n_chains)
-        pixel_chunk = max(1, min(n_px_total, (1 << 24) // per_px_rays))
+        prim_tests = (
+            scene_data.n_spheres
+            + scene_data.n_planes
+            + scene_data.n_tris
+            + scene_data.n_volumes
+            + sum(int(m.tri_verts.shape[0]) for m in scene_data.meshes)
+        )
+        work_per_px = per_px_rays * max(1, cam.path_depth) * max(16, prim_tests)
+        budget = 1 << 36  # ~7e10 ray·prim·bounce units ≈ a few seconds
+        pixel_chunk = max(1, min(n_px_total, budget // work_per_px))
     if spp_chunk is None:
         spp_chunk = spp
     spp_chunk = min(spp_chunk, spp)
