@@ -95,6 +95,480 @@ def scene_is_simple(scene) -> bool:
     return True
 
 
+
+def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
+                  tri_m, vol_f, vol_m, mesh_xf, mesh_tri, mesh_nrm, mesh_meta,
+                  mat_tab, sl_bounds, k0, k1, uid_u, shape):
+    """Build the single-bounce update used by both the full-loop kernel
+    and the per-bounce wavefront step kernel. `site_u32` is the RNG draw
+    site (SITE_BOUNCE0 + depth), scalar."""
+    n_sph = counts["n_sph"]
+    n_pln = counts["n_pln"]
+    n_tri = counts["n_tri"]
+    n_vol = counts["n_vol"]
+    mesh_ranges = counts["mesh_ranges"]
+    n_mat = counts["n_mat"]
+    n_mesh = len(mesh_ranges)
+    fzero = jnp.zeros(shape, jnp.float32)
+    izero = jnp.zeros(shape, jnp.int32)
+
+    def bounce(site_u32, state):
+        (sox, soy, soz, sdx, sdy, sdz,
+         tr, tg, tb, rr, rg, rb, alive, segs) = state
+
+        # ---------------- intersection ----------------
+        d2 = sdx * sdx + sdy * sdy + sdz * sdz
+        big = jnp.float32(max_dist)
+
+        best_t = jnp.full(shape, big, jnp.float32)
+        code = jnp.full(shape, -1, jnp.int32)
+        mat = izero
+        uu = fzero
+        vv = fzero
+        nx = fzero
+        ny = fzero
+        nz = fzero
+        ff = izero
+        # winning mesh-corner normals (for mesh winners)
+        cn = [fzero] * 9
+
+        carry0 = (best_t, code, mat, uu, vv, nx, ny, nz, ff)
+
+        def upd(carry, ok, t, c, m, u_, v_, nx_, ny_, nz_, ff_):
+            best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
+            return (
+                jnp.where(ok, t, best_t),
+                jnp.where(ok, c, code),
+                jnp.where(ok, m, mat),
+                jnp.where(ok, u_, uu),
+                jnp.where(ok, v_, vv),
+                jnp.where(ok, nx_, nx),
+                jnp.where(ok, ny_, ny),
+                jnp.where(ok, nz_, nz),
+                jnp.where(ok, ff_, ff),
+            )
+
+        carry = carry0
+
+        def sph_body(s, carry):
+            cx = sph_f[s, 0]
+            cy = sph_f[s, 1]
+            cz = sph_f[s, 2]
+            r = sph_f[s, 3]
+            fx = sox - cx
+            fy = soy - cy
+            fz = soz - cz
+            b = 2.0 * (fx * sdx + fy * sdy + fz * sdz)
+            c2 = fx * fx + fy * fy + fz * fz - r * r
+            disc = b * b - 4.0 * d2 * c2
+            ok0 = disc >= 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv2a = 1.0 / (2.0 * d2)
+            t1 = (-b - sq) * inv2a
+            t2 = (-b + sq) * inv2a
+            t = jnp.where(t1 >= t_min, t1, t2)
+            ok = ok0 & (t >= t_min) & (t < carry[0])
+            px = sox + t * sdx - cx
+            py = soy + t * sdy - cy
+            pz = soz + t * sdz - cz
+            inv_len = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
+            gx = px * inv_len
+            gy = py * inv_len
+            gz = pz * inv_len
+            front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            return upd(carry, ok, t, 0, sph_m[s], fzero, fzero,
+                       sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
+
+        if n_sph:
+            carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
+
+        def pln_body(p, carry):
+            px = pln_f[p, 0]
+            py = pln_f[p, 1]
+            pz = pln_f[p, 2]
+            wx = pln_f[p, 3]
+            wy = pln_f[p, 4]
+            wz = pln_f[p, 5]
+            od = (sox - px) * wx + (soy - py) * wy + (soz - pz) * wz
+            sgn = jnp.where(od >= 0.0, 1.0, -1.0)
+            fx = sgn * wx
+            fy = sgn * wy
+            fz = sgn * wz
+            dd = sdx * fx + sdy * fy + sdz * fz
+            t = jnp.abs(od) / jnp.abs(jnp.where(dd == 0.0, 1.0, dd))
+            ok = (dd < 0.0) & (t >= t_min) & (t < carry[0])
+            return upd(carry, ok, t, 1, pln_m[p], fzero, fzero,
+                       fx, fy, fz, jnp.ones(shape, jnp.int32))
+
+        if n_pln:
+            carry = jax.lax.fori_loop(0, n_pln, pln_body, carry)
+
+        def mt(ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, ox_, oy_, oz_,
+               dx_, dy_, dz_, best):
+            qx = dy_ * e2z - dz_ * e2y
+            qy = dz_ * e2x - dx_ * e2z
+            qz = dx_ * e2y - dy_ * e2x
+            det = e1x * qx + e1y * qy + e1z * qz
+            det_ok = jnp.abs(det) >= MT_EPSILON
+            f = 1.0 / jnp.where(det_ok, det, 1.0)
+            sx = ox_ - ax
+            sy = oy_ - ay
+            sz = oz_ - az
+            u = f * (sx * qx + sy * qy + sz * qz)
+            rx = sy * e1z - sz * e1y
+            ry = sz * e1x - sx * e1z
+            rz = sx * e1y - sy * e1x
+            v = f * (dx_ * rx + dy_ * ry + dz_ * rz)
+            t = f * (e2x * rx + e2y * ry + e2z * rz)
+            ok = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t >= t_min) & (t < best))
+            return ok, t, u, v
+
+        def tri_body(i, carry):
+            ok, t, u, v = mt(
+                tri_f[i, 0], tri_f[i, 1], tri_f[i, 2],
+                tri_f[i, 3], tri_f[i, 4], tri_f[i, 5],
+                tri_f[i, 6], tri_f[i, 7], tri_f[i, 8],
+                sox, soy, soz, sdx, sdy, sdz, carry[0],
+            )
+            gx = tri_f[i, 9]
+            gy = tri_f[i, 10]
+            gz = tri_f[i, 11]
+            front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            return upd(carry, ok, t, 2, tri_m[i], fzero, fzero,
+                       sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
+
+        if n_tri:
+            carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+
+        # bounce RNG (drawn before volumes need it)
+        site = site_u32
+        us = _uniforms(k0, k1, uid_u, site, 4 + max(n_vol, 1))
+
+        for vi in range(n_vol):
+            cx = vol_f[vi, 0]
+            cy = vol_f[vi, 1]
+            cz = vol_f[vi, 2]
+            r = vol_f[vi, 3]
+            neg_inv_rho = vol_f[vi, 4]
+            fx = sox - cx
+            fy = soy - cy
+            fz = soz - cz
+            b = 2.0 * (fx * sdx + fy * sdy + fz * sdz)
+            c2 = fx * fx + fy * fy + fz * fz - r * r
+            disc = b * b - 4.0 * d2 * c2
+            ok0 = disc >= 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv2a = 1.0 / (2.0 * d2)
+            t_entr = (-b - sq) * inv2a
+            t_exit = (-b + sq) * inv2a
+            exit_ok = ok0 & (t_exit >= t_entr + 1e-4)
+            in_range = (t_exit >= t_min) & (t_entr <= carry[0])
+            t_start = jnp.maximum(t_entr, jnp.float32(t_min))
+            t_end = jnp.minimum(t_exit, carry[0])
+            dist = neg_inv_rho * jnp.log(jnp.maximum(us[4 + vi], 1e-38))
+            ok = ok0 & exit_ok & in_range & (dist < t_end - t_start)
+            t = t_start + dist
+            carry = upd(carry, ok, t, 3, vol_m[vi], fzero, fzero,
+                        fzero, fzero, fzero, izero)
+
+        # dense meshes with corner-normal carry and superleaf culling:
+        # the triangle tests of a 16-tri group run only when at least
+        # one ray in the block hits the group's (padded) AABB closer
+        # than its current best — tile-level hierarchy without
+        # per-lane control flow.
+        sl_ranges = counts["sl_ranges"]
+        for mi, (start, count) in enumerate(mesh_ranges):
+            r00 = mesh_xf[mi, 0]
+            r01 = mesh_xf[mi, 1]
+            r02 = mesh_xf[mi, 2]
+            r10 = mesh_xf[mi, 3]
+            r11 = mesh_xf[mi, 4]
+            r12 = mesh_xf[mi, 5]
+            r20 = mesh_xf[mi, 6]
+            r21 = mesh_xf[mi, 7]
+            r22 = mesh_xf[mi, 8]
+            tx = mesh_xf[mi, 9]
+            ty = mesh_xf[mi, 10]
+            tz = mesh_xf[mi, 11]
+            mox = r00 * sox + r01 * soy + r02 * soz + tx
+            moy = r10 * sox + r11 * soy + r12 * soz + ty
+            moz = r20 * sox + r21 * soy + r22 * soz + tz
+            mdx = r00 * sdx + r01 * sdy + r02 * sdz
+            mdy = r10 * sdx + r11 * sdy + r12 * sdz
+            mdz = r20 * sdx + r21 * sdy + r22 * sdz
+
+            def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
+                          mdx=mdx, mdy=mdy, mdz=mdz, mi=mi):
+                carry, cn = packed
+                ok, t, u, v = mt(
+                    mesh_tri[i, 0], mesh_tri[i, 1], mesh_tri[i, 2],
+                    mesh_tri[i, 3], mesh_tri[i, 4], mesh_tri[i, 5],
+                    mesh_tri[i, 6], mesh_tri[i, 7], mesh_tri[i, 8],
+                    mox, moy, moz, mdx, mdy, mdz, carry[0],
+                )
+                carry = upd(carry, ok, t, 4 + mi, mesh_meta[mi], u, v,
+                            fzero, fzero, fzero, izero)
+                cn = tuple(
+                    jnp.where(ok, mesh_nrm[i, j], cn[j]) for j in range(9)
+                )
+                return carry, cn
+
+            sl_first, sl_count = sl_ranges[mi]
+            inv_mdx = 1.0 / mdx
+            inv_mdy = 1.0 / mdy
+            inv_mdz = 1.0 / mdz
+
+            def sl_body(s, packed, mox=mox, moy=moy, moz=moz,
+                        inv_mdx=inv_mdx, inv_mdy=inv_mdy, inv_mdz=inv_mdz,
+                        mesh_body=mesh_body, start=start, count=count,
+                        sl_first=sl_first):
+                carry, cn = packed
+                row = sl_first + s
+                t0x = (sl_bounds[row, 0] - mox) * inv_mdx
+                t1x = (sl_bounds[row, 3] - mox) * inv_mdx
+                t0y = (sl_bounds[row, 1] - moy) * inv_mdy
+                t1y = (sl_bounds[row, 4] - moy) * inv_mdy
+                t0z = (sl_bounds[row, 2] - moz) * inv_mdz
+                t1z = (sl_bounds[row, 5] - moz) * inv_mdz
+                lox = jnp.minimum(t0x, t1x)
+                hix = jnp.maximum(t0x, t1x)
+                loy = jnp.minimum(t0y, t1y)
+                hiy = jnp.maximum(t0y, t1y)
+                loz = jnp.minimum(t0z, t1z)
+                hiz = jnp.maximum(t0z, t1z)
+                tlo = jnp.maximum(
+                    jnp.maximum(lox, loy), jnp.maximum(loz, jnp.float32(t_min))
+                )
+                thi = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, carry[0]))
+                any_hit = jnp.sum((thi > tlo).astype(jnp.float32)) > 0.0
+
+                lo_i = start + s * 16
+                hi_i = jnp.minimum(lo_i + 16, start + count)
+                return jax.lax.cond(
+                    any_hit,
+                    lambda p: jax.lax.fori_loop(lo_i, hi_i, mesh_body, p),
+                    lambda p: p,
+                    packed,
+                )
+
+            carry, cn = jax.lax.fori_loop(
+                0, sl_count, sl_body, (carry, tuple(cn))
+            )
+            cn = list(cn)
+
+        best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
+
+        # mesh winner: interpolate + flip + normal-matrix transform
+        for mi in range(n_mesh):
+            mask = code == 4 + mi
+            w = 1.0 - uu - vv
+            inx = uu * cn[3] + vv * cn[6] + w * cn[0]
+            iny = uu * cn[4] + vv * cn[7] + w * cn[1]
+            inz = uu * cn[5] + vv * cn[8] + w * cn[2]
+            inv_len = jax.lax.rsqrt(inx * inx + iny * iny + inz * inz + 1e-30)
+            inx = inx * inv_len
+            iny = iny * inv_len
+            inz = inz * inv_len
+            # frontface vs object-space direction
+            r00 = mesh_xf[mi, 0]
+            r01 = mesh_xf[mi, 1]
+            r02 = mesh_xf[mi, 2]
+            r10 = mesh_xf[mi, 3]
+            r11 = mesh_xf[mi, 4]
+            r12 = mesh_xf[mi, 5]
+            r20 = mesh_xf[mi, 6]
+            r21 = mesh_xf[mi, 7]
+            r22 = mesh_xf[mi, 8]
+            mdx = r00 * sdx + r01 * sdy + r02 * sdz
+            mdy = r10 * sdx + r11 * sdy + r12 * sdz
+            mdz = r20 * sdx + r21 * sdy + r22 * sdz
+            front = (inx * mdx + iny * mdy + inz * mdz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            fx = sgn * inx
+            fy = sgn * iny
+            fz = sgn * inz
+            # normal matrix = inv_transform[:3,:3]^T (cols 12..20)
+            m00 = mesh_xf[mi, 12]
+            m01 = mesh_xf[mi, 13]
+            m02 = mesh_xf[mi, 14]
+            m10 = mesh_xf[mi, 15]
+            m11 = mesh_xf[mi, 16]
+            m12 = mesh_xf[mi, 17]
+            m20 = mesh_xf[mi, 18]
+            m21 = mesh_xf[mi, 19]
+            m22 = mesh_xf[mi, 20]
+            wx = m00 * fx + m01 * fy + m02 * fz
+            wy = m10 * fx + m11 * fy + m12 * fz
+            wz = m20 * fx + m21 * fy + m22 * fz
+            inv_len = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz + 1e-30)
+            nx = jnp.where(mask, wx * inv_len, nx)
+            ny = jnp.where(mask, wy * inv_len, ny)
+            nz = jnp.where(mask, wz * inv_len, nz)
+            ff = jnp.where(mask, front.astype(jnp.int32), ff)
+
+        hit_valid = code >= 0
+
+        # ---------------- material resolve ----------------
+        mtype = izero
+        alb_r = fzero
+        alb_g = fzero
+        alb_b = fzero
+        emi_r = fzero
+        emi_g = fzero
+        emi_b = fzero
+        rough = fzero
+        metal = fzero
+        ior = jnp.full(shape, 1.5, jnp.float32)
+        for m in range(n_mat):
+            msk = mat == m
+            mtype = jnp.where(msk, mat_tab[m, 0].astype(jnp.int32), mtype)
+            alb_r = jnp.where(msk, mat_tab[m, 1], alb_r)
+            alb_g = jnp.where(msk, mat_tab[m, 2], alb_g)
+            alb_b = jnp.where(msk, mat_tab[m, 3], alb_b)
+            emi_r = jnp.where(msk, mat_tab[m, 4], emi_r)
+            emi_g = jnp.where(msk, mat_tab[m, 5], emi_g)
+            emi_b = jnp.where(msk, mat_tab[m, 6], emi_b)
+            rough = jnp.where(msk, mat_tab[m, 7], rough)
+            metal = jnp.where(msk, mat_tab[m, 8], metal)
+            ior = jnp.where(msk, mat_tab[m, 9], ior)
+
+        # ---------------- shading update ----------------
+        live_hit = alive & hit_valid
+
+        # radiance += throughput * emission  (misses add black bg)
+        rr = rr + jnp.where(live_hit, tr * emi_r, 0.0)
+        rg = rg + jnp.where(live_hit, tg * emi_g, 0.0)
+        rb = rb + jnp.where(live_hit, tb * emi_b, 0.0)
+
+        # hitpoint (affine-invariant: o + t*d for every class)
+        px = sox + best_t * sdx
+        py = soy + best_t * sdy
+        pz = soz + best_t * sdz
+
+        # ball sample from u0..u2 (sampling.ball_vec_from_uniform)
+        zb = 2.0 * us[0] - 1.0
+        phi = TWO_PI * us[1]
+        rad_b_ = jnp.exp(jnp.log(jnp.maximum(us[2], 1e-38)) * (1.0 / 3.0))
+        sb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
+        bx = rad_b_ * sb * jnp.cos(phi)
+        by = rad_b_ * sb * jnp.sin(phi)
+        bz = rad_b_ * zb
+        u_choice = us[3]
+
+        # hemisphere fold about n
+        bd = bx * nx + by * ny + bz * nz
+        hx = jnp.where(bd < 0.0, bx - 2.0 * bd * nx, bx)
+        hy = jnp.where(bd < 0.0, by - 2.0 * bd * ny, by)
+        hz = jnp.where(bd < 0.0, bz - 2.0 * bd * nz, bz)
+
+        # reflect d about n
+        ddn = sdx * nx + sdy * ny + sdz * nz
+        rxd = sdx - 2.0 * ddn * nx
+        ryd = sdy - 2.0 * ddn * ny
+        rzd = sdz - 2.0 * ddn * nz
+
+        # metal dir = reflect + roughness*ball
+        mexd = rxd + rough * bx
+        meyd = ryd + rough * by
+        mezd = rzd + rough * bz
+
+        # dielectric
+        ffb = ff > 0
+        eta = jnp.where(ffb, 1.0 / ior, ior)
+        cos_in = jnp.minimum(-(ddn), 1.0)
+        critical = eta * jnp.sqrt(jnp.maximum(1.0 - cos_in * cos_in, 0.0)) > 1.0
+        r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+        fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(ddn)) ** 5
+        # refract (tracing.rs:64-69)
+        ct = jnp.minimum(-(ddn), 1.0)
+        perp_x = eta * (sdx + ct * nx)
+        perp_y = eta * (sdy + ct * ny)
+        perp_z = eta * (sdz + ct * nz)
+        perp2 = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
+        par = -jnp.sqrt(jnp.abs(1.0 - perp2))
+        refr_x = perp_x + par * nx
+        refr_y = perp_y + par * ny
+        refr_z = perp_z + par * nz
+        will_refract = (~critical) & (u_choice >= fres)
+        diex = jnp.where(will_refract, refr_x, rxd)
+        diey = jnp.where(will_refract, refr_y, ryd)
+        diez = jnp.where(will_refract, refr_z, rzd)
+
+        # parameterized
+        r0_15 = jnp.float32(((1.5 - 1.0) / (1.5 + 1.0)) ** 2)
+        fres15 = r0_15 + (1.0 - r0_15) * (1.0 - jnp.abs(ddn)) ** 5
+        k_s = fres15 * (1.0 - rough)
+        k_d = (1.0 - k_s) * (1.0 - metal)
+        diffuse = u_choice < k_d
+        par_x = jnp.where(diffuse, hx, mexd)
+        par_y = jnp.where(diffuse, hy, meyd)
+        par_z = jnp.where(diffuse, hz, mezd)
+        par_ar = jnp.where(diffuse, alb_r / PI, 1.0 + (alb_r - 1.0) * metal)
+        par_ag = jnp.where(diffuse, alb_g / PI, 1.0 + (alb_g - 1.0) * metal)
+        par_ab = jnp.where(diffuse, alb_b / PI, 1.0 + (alb_b - 1.0) * metal)
+        par_pdf = jnp.where(diffuse, jnp.float32(1.0 / TWO_PI), 1.0)
+
+        # switch
+        is_lam = mtype == matlib.LAMBERTIAN
+        is_met = mtype == matlib.METAL
+        is_die = mtype == matlib.DIELECTRIC
+        is_par = mtype == matlib.PARAMETERIZED
+        is_iso = mtype == matlib.ISOTROPIC
+
+        ndx = jnp.where(is_met, mexd, hx)
+        ndy = jnp.where(is_met, meyd, hy)
+        ndz = jnp.where(is_met, mezd, hz)
+        ndx = jnp.where(is_die, diex, ndx)
+        ndy = jnp.where(is_die, diey, ndy)
+        ndz = jnp.where(is_die, diez, ndz)
+        ndx = jnp.where(is_par, par_x, ndx)
+        ndy = jnp.where(is_par, par_y, ndy)
+        ndz = jnp.where(is_par, par_z, ndz)
+        ndx = jnp.where(is_iso, bx, ndx)
+        ndy = jnp.where(is_iso, by, ndy)
+        ndz = jnp.where(is_iso, bz, ndz)
+
+        inv_pi = jnp.float32(1.0 / PI)
+        atr = jnp.where(is_lam, alb_r * inv_pi, alb_r)
+        atg = jnp.where(is_lam, alb_g * inv_pi, alb_g)
+        atb = jnp.where(is_lam, alb_b * inv_pi, alb_b)
+        atr = jnp.where(is_die, 1.0, atr)
+        atg = jnp.where(is_die, 1.0, atg)
+        atb = jnp.where(is_die, 1.0, atb)
+        atr = jnp.where(is_par, par_ar, atr)
+        atg = jnp.where(is_par, par_ag, atg)
+        atb = jnp.where(is_par, par_ab, atb)
+
+        pdf = jnp.where(is_lam, jnp.float32(1.0 / TWO_PI), 1.0)
+        pdf = jnp.where(is_par, par_pdf, pdf)
+
+        # dot term (tracing.rs:313): |new_dir . n| clamped; 1 when
+        # the normal is zero (volume scatter)
+        n2 = nx * nx + ny * ny + nz * nz
+        dot_nd = jnp.abs(ndx * nx + ndy * ny + ndz * nz)
+        dot_term = jnp.where(n2 > 0.0, jnp.clip(dot_nd, 0.0, 1.0), 1.0)
+        fac = dot_term / pdf
+
+        tr = jnp.where(live_hit, tr * fac * atr, tr)
+        tg = jnp.where(live_hit, tg * fac * atg, tg)
+        tb = jnp.where(live_hit, tb * fac * atb, tb)
+        sox = jnp.where(live_hit, px, sox)
+        soy = jnp.where(live_hit, py, soy)
+        soz = jnp.where(live_hit, pz, soz)
+        sdx = jnp.where(live_hit, ndx, sdx)
+        sdy = jnp.where(live_hit, ndy, sdy)
+        sdz = jnp.where(live_hit, ndz, sdz)
+        segs = segs + alive.astype(jnp.float32)
+        alive = live_hit
+
+        return (sox, soy, soz, sdx, sdy, sdz,
+                tr, tg, tb, rr, rg, rb, alive, segs)
+
+    return bounce
+
 def _make_kernel(counts, *, path_depth, t_min, max_dist):
     n_sph = counts["n_sph"]
     n_pln = counts["n_pln"]
@@ -134,466 +608,18 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
             vec0,                          # segments
         )
 
-        def bounce(depth, state):
-            (sox, soy, soz, sdx, sdy, sdz,
-             tr, tg, tb, rr, rg, rb, alive, segs) = state
+        bounce = _build_bounce(
+            counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
+            tri_m, vol_f, vol_m, mesh_xf, mesh_tri, mesh_nrm, mesh_meta,
+            mat_tab, sl_bounds, k0, k1, uid_u, shape,
+        )
 
-            # ---------------- intersection ----------------
-            d2 = sdx * sdx + sdy * sdy + sdz * sdz
-            big = jnp.float32(max_dist)
-
-            best_t = jnp.full(shape, big, jnp.float32)
-            code = jnp.full(shape, -1, jnp.int32)
-            mat = izero
-            uu = fzero
-            vv = fzero
-            nx = fzero
-            ny = fzero
-            nz = fzero
-            ff = izero
-            # winning mesh-corner normals (for mesh winners)
-            cn = [fzero] * 9
-
-            carry0 = (best_t, code, mat, uu, vv, nx, ny, nz, ff)
-
-            def upd(carry, ok, t, c, m, u_, v_, nx_, ny_, nz_, ff_):
-                best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
-                return (
-                    jnp.where(ok, t, best_t),
-                    jnp.where(ok, c, code),
-                    jnp.where(ok, m, mat),
-                    jnp.where(ok, u_, uu),
-                    jnp.where(ok, v_, vv),
-                    jnp.where(ok, nx_, nx),
-                    jnp.where(ok, ny_, ny),
-                    jnp.where(ok, nz_, nz),
-                    jnp.where(ok, ff_, ff),
-                )
-
-            carry = carry0
-
-            def sph_body(s, carry):
-                cx = sph_f[s, 0]
-                cy = sph_f[s, 1]
-                cz = sph_f[s, 2]
-                r = sph_f[s, 3]
-                fx = sox - cx
-                fy = soy - cy
-                fz = soz - cz
-                b = 2.0 * (fx * sdx + fy * sdy + fz * sdz)
-                c2 = fx * fx + fy * fy + fz * fz - r * r
-                disc = b * b - 4.0 * d2 * c2
-                ok0 = disc >= 0.0
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                inv2a = 1.0 / (2.0 * d2)
-                t1 = (-b - sq) * inv2a
-                t2 = (-b + sq) * inv2a
-                t = jnp.where(t1 >= t_min, t1, t2)
-                ok = ok0 & (t >= t_min) & (t < carry[0])
-                px = sox + t * sdx - cx
-                py = soy + t * sdy - cy
-                pz = soz + t * sdz - cz
-                inv_len = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
-                gx = px * inv_len
-                gy = py * inv_len
-                gz = pz * inv_len
-                front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
-                sgn = jnp.where(front, 1.0, -1.0)
-                return upd(carry, ok, t, 0, sph_m[s], fzero, fzero,
-                           sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
-
-            if n_sph:
-                carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
-
-            def pln_body(p, carry):
-                px = pln_f[p, 0]
-                py = pln_f[p, 1]
-                pz = pln_f[p, 2]
-                wx = pln_f[p, 3]
-                wy = pln_f[p, 4]
-                wz = pln_f[p, 5]
-                od = (sox - px) * wx + (soy - py) * wy + (soz - pz) * wz
-                sgn = jnp.where(od >= 0.0, 1.0, -1.0)
-                fx = sgn * wx
-                fy = sgn * wy
-                fz = sgn * wz
-                dd = sdx * fx + sdy * fy + sdz * fz
-                t = jnp.abs(od) / jnp.abs(jnp.where(dd == 0.0, 1.0, dd))
-                ok = (dd < 0.0) & (t >= t_min) & (t < carry[0])
-                return upd(carry, ok, t, 1, pln_m[p], fzero, fzero,
-                           fx, fy, fz, jnp.ones(shape, jnp.int32))
-
-            if n_pln:
-                carry = jax.lax.fori_loop(0, n_pln, pln_body, carry)
-
-            def mt(ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, ox_, oy_, oz_,
-                   dx_, dy_, dz_, best):
-                qx = dy_ * e2z - dz_ * e2y
-                qy = dz_ * e2x - dx_ * e2z
-                qz = dx_ * e2y - dy_ * e2x
-                det = e1x * qx + e1y * qy + e1z * qz
-                det_ok = jnp.abs(det) >= MT_EPSILON
-                f = 1.0 / jnp.where(det_ok, det, 1.0)
-                sx = ox_ - ax
-                sy = oy_ - ay
-                sz = oz_ - az
-                u = f * (sx * qx + sy * qy + sz * qz)
-                rx = sy * e1z - sz * e1y
-                ry = sz * e1x - sx * e1z
-                rz = sx * e1y - sy * e1x
-                v = f * (dx_ * rx + dy_ * ry + dz_ * rz)
-                t = f * (e2x * rx + e2y * ry + e2z * rz)
-                ok = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                      & (t >= t_min) & (t < best))
-                return ok, t, u, v
-
-            def tri_body(i, carry):
-                ok, t, u, v = mt(
-                    tri_f[i, 0], tri_f[i, 1], tri_f[i, 2],
-                    tri_f[i, 3], tri_f[i, 4], tri_f[i, 5],
-                    tri_f[i, 6], tri_f[i, 7], tri_f[i, 8],
-                    sox, soy, soz, sdx, sdy, sdz, carry[0],
-                )
-                gx = tri_f[i, 9]
-                gy = tri_f[i, 10]
-                gz = tri_f[i, 11]
-                front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
-                sgn = jnp.where(front, 1.0, -1.0)
-                return upd(carry, ok, t, 2, tri_m[i], fzero, fzero,
-                           sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
-
-            if n_tri:
-                carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
-
-            # bounce RNG (drawn before volumes need it)
-            site = jnp.uint32(SITE_BOUNCE0 + depth)
-            us = _uniforms(k0, k1, uid_u, site, 4 + max(n_vol, 1))
-
-            for vi in range(n_vol):
-                cx = vol_f[vi, 0]
-                cy = vol_f[vi, 1]
-                cz = vol_f[vi, 2]
-                r = vol_f[vi, 3]
-                neg_inv_rho = vol_f[vi, 4]
-                fx = sox - cx
-                fy = soy - cy
-                fz = soz - cz
-                b = 2.0 * (fx * sdx + fy * sdy + fz * sdz)
-                c2 = fx * fx + fy * fy + fz * fz - r * r
-                disc = b * b - 4.0 * d2 * c2
-                ok0 = disc >= 0.0
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                inv2a = 1.0 / (2.0 * d2)
-                t_entr = (-b - sq) * inv2a
-                t_exit = (-b + sq) * inv2a
-                exit_ok = ok0 & (t_exit >= t_entr + 1e-4)
-                in_range = (t_exit >= t_min) & (t_entr <= carry[0])
-                t_start = jnp.maximum(t_entr, jnp.float32(t_min))
-                t_end = jnp.minimum(t_exit, carry[0])
-                dist = neg_inv_rho * jnp.log(jnp.maximum(us[4 + vi], 1e-38))
-                ok = ok0 & exit_ok & in_range & (dist < t_end - t_start)
-                t = t_start + dist
-                carry = upd(carry, ok, t, 3, vol_m[vi], fzero, fzero,
-                            fzero, fzero, fzero, izero)
-
-            # dense meshes with corner-normal carry and superleaf culling:
-            # the triangle tests of a 16-tri group run only when at least
-            # one ray in the block hits the group's (padded) AABB closer
-            # than its current best — tile-level hierarchy without
-            # per-lane control flow.
-            sl_ranges = counts["sl_ranges"]
-            for mi, (start, count) in enumerate(mesh_ranges):
-                r00 = mesh_xf[mi, 0]
-                r01 = mesh_xf[mi, 1]
-                r02 = mesh_xf[mi, 2]
-                r10 = mesh_xf[mi, 3]
-                r11 = mesh_xf[mi, 4]
-                r12 = mesh_xf[mi, 5]
-                r20 = mesh_xf[mi, 6]
-                r21 = mesh_xf[mi, 7]
-                r22 = mesh_xf[mi, 8]
-                tx = mesh_xf[mi, 9]
-                ty = mesh_xf[mi, 10]
-                tz = mesh_xf[mi, 11]
-                mox = r00 * sox + r01 * soy + r02 * soz + tx
-                moy = r10 * sox + r11 * soy + r12 * soz + ty
-                moz = r20 * sox + r21 * soy + r22 * soz + tz
-                mdx = r00 * sdx + r01 * sdy + r02 * sdz
-                mdy = r10 * sdx + r11 * sdy + r12 * sdz
-                mdz = r20 * sdx + r21 * sdy + r22 * sdz
-
-                def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
-                              mdx=mdx, mdy=mdy, mdz=mdz, mi=mi):
-                    carry, cn = packed
-                    ok, t, u, v = mt(
-                        mesh_tri[i, 0], mesh_tri[i, 1], mesh_tri[i, 2],
-                        mesh_tri[i, 3], mesh_tri[i, 4], mesh_tri[i, 5],
-                        mesh_tri[i, 6], mesh_tri[i, 7], mesh_tri[i, 8],
-                        mox, moy, moz, mdx, mdy, mdz, carry[0],
-                    )
-                    carry = upd(carry, ok, t, 4 + mi, mesh_meta[mi], u, v,
-                                fzero, fzero, fzero, izero)
-                    cn = tuple(
-                        jnp.where(ok, mesh_nrm[i, j], cn[j]) for j in range(9)
-                    )
-                    return carry, cn
-
-                sl_first, sl_count = sl_ranges[mi]
-                inv_mdx = 1.0 / mdx
-                inv_mdy = 1.0 / mdy
-                inv_mdz = 1.0 / mdz
-
-                def sl_body(s, packed, mox=mox, moy=moy, moz=moz,
-                            inv_mdx=inv_mdx, inv_mdy=inv_mdy, inv_mdz=inv_mdz,
-                            mesh_body=mesh_body, start=start, count=count,
-                            sl_first=sl_first):
-                    carry, cn = packed
-                    row = sl_first + s
-                    t0x = (sl_bounds[row, 0] - mox) * inv_mdx
-                    t1x = (sl_bounds[row, 3] - mox) * inv_mdx
-                    t0y = (sl_bounds[row, 1] - moy) * inv_mdy
-                    t1y = (sl_bounds[row, 4] - moy) * inv_mdy
-                    t0z = (sl_bounds[row, 2] - moz) * inv_mdz
-                    t1z = (sl_bounds[row, 5] - moz) * inv_mdz
-                    lox = jnp.minimum(t0x, t1x)
-                    hix = jnp.maximum(t0x, t1x)
-                    loy = jnp.minimum(t0y, t1y)
-                    hiy = jnp.maximum(t0y, t1y)
-                    loz = jnp.minimum(t0z, t1z)
-                    hiz = jnp.maximum(t0z, t1z)
-                    tlo = jnp.maximum(
-                        jnp.maximum(lox, loy), jnp.maximum(loz, jnp.float32(t_min))
-                    )
-                    thi = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, carry[0]))
-                    any_hit = jnp.sum((thi > tlo).astype(jnp.float32)) > 0.0
-
-                    lo_i = start + s * 16
-                    hi_i = jnp.minimum(lo_i + 16, start + count)
-                    return jax.lax.cond(
-                        any_hit,
-                        lambda p: jax.lax.fori_loop(lo_i, hi_i, mesh_body, p),
-                        lambda p: p,
-                        packed,
-                    )
-
-                carry, cn = jax.lax.fori_loop(
-                    0, sl_count, sl_body, (carry, tuple(cn))
-                )
-                cn = list(cn)
-
-            best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
-
-            # mesh winner: interpolate + flip + normal-matrix transform
-            for mi in range(n_mesh):
-                mask = code == 4 + mi
-                w = 1.0 - uu - vv
-                inx = uu * cn[3] + vv * cn[6] + w * cn[0]
-                iny = uu * cn[4] + vv * cn[7] + w * cn[1]
-                inz = uu * cn[5] + vv * cn[8] + w * cn[2]
-                inv_len = jax.lax.rsqrt(inx * inx + iny * iny + inz * inz + 1e-30)
-                inx = inx * inv_len
-                iny = iny * inv_len
-                inz = inz * inv_len
-                # frontface vs object-space direction
-                r00 = mesh_xf[mi, 0]
-                r01 = mesh_xf[mi, 1]
-                r02 = mesh_xf[mi, 2]
-                r10 = mesh_xf[mi, 3]
-                r11 = mesh_xf[mi, 4]
-                r12 = mesh_xf[mi, 5]
-                r20 = mesh_xf[mi, 6]
-                r21 = mesh_xf[mi, 7]
-                r22 = mesh_xf[mi, 8]
-                mdx = r00 * sdx + r01 * sdy + r02 * sdz
-                mdy = r10 * sdx + r11 * sdy + r12 * sdz
-                mdz = r20 * sdx + r21 * sdy + r22 * sdz
-                front = (inx * mdx + iny * mdy + inz * mdz) < 0.0
-                sgn = jnp.where(front, 1.0, -1.0)
-                fx = sgn * inx
-                fy = sgn * iny
-                fz = sgn * inz
-                # normal matrix = inv_transform[:3,:3]^T (cols 12..20)
-                m00 = mesh_xf[mi, 12]
-                m01 = mesh_xf[mi, 13]
-                m02 = mesh_xf[mi, 14]
-                m10 = mesh_xf[mi, 15]
-                m11 = mesh_xf[mi, 16]
-                m12 = mesh_xf[mi, 17]
-                m20 = mesh_xf[mi, 18]
-                m21 = mesh_xf[mi, 19]
-                m22 = mesh_xf[mi, 20]
-                wx = m00 * fx + m01 * fy + m02 * fz
-                wy = m10 * fx + m11 * fy + m12 * fz
-                wz = m20 * fx + m21 * fy + m22 * fz
-                inv_len = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz + 1e-30)
-                nx = jnp.where(mask, wx * inv_len, nx)
-                ny = jnp.where(mask, wy * inv_len, ny)
-                nz = jnp.where(mask, wz * inv_len, nz)
-                ff = jnp.where(mask, front.astype(jnp.int32), ff)
-
-            hit_valid = code >= 0
-
-            # ---------------- material resolve ----------------
-            mtype = izero
-            alb_r = fzero
-            alb_g = fzero
-            alb_b = fzero
-            emi_r = fzero
-            emi_g = fzero
-            emi_b = fzero
-            rough = fzero
-            metal = fzero
-            ior = jnp.full(shape, 1.5, jnp.float32)
-            for m in range(n_mat):
-                msk = mat == m
-                mtype = jnp.where(msk, mat_tab[m, 0].astype(jnp.int32), mtype)
-                alb_r = jnp.where(msk, mat_tab[m, 1], alb_r)
-                alb_g = jnp.where(msk, mat_tab[m, 2], alb_g)
-                alb_b = jnp.where(msk, mat_tab[m, 3], alb_b)
-                emi_r = jnp.where(msk, mat_tab[m, 4], emi_r)
-                emi_g = jnp.where(msk, mat_tab[m, 5], emi_g)
-                emi_b = jnp.where(msk, mat_tab[m, 6], emi_b)
-                rough = jnp.where(msk, mat_tab[m, 7], rough)
-                metal = jnp.where(msk, mat_tab[m, 8], metal)
-                ior = jnp.where(msk, mat_tab[m, 9], ior)
-
-            # ---------------- shading update ----------------
-            live_hit = alive & hit_valid
-
-            # radiance += throughput * emission  (misses add black bg)
-            rr = rr + jnp.where(live_hit, tr * emi_r, 0.0)
-            rg = rg + jnp.where(live_hit, tg * emi_g, 0.0)
-            rb = rb + jnp.where(live_hit, tb * emi_b, 0.0)
-
-            # hitpoint (affine-invariant: o + t*d for every class)
-            px = sox + best_t * sdx
-            py = soy + best_t * sdy
-            pz = soz + best_t * sdz
-
-            # ball sample from u0..u2 (sampling.ball_vec_from_uniform)
-            zb = 2.0 * us[0] - 1.0
-            phi = TWO_PI * us[1]
-            rad_b_ = jnp.exp(jnp.log(jnp.maximum(us[2], 1e-38)) * (1.0 / 3.0))
-            sb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
-            bx = rad_b_ * sb * jnp.cos(phi)
-            by = rad_b_ * sb * jnp.sin(phi)
-            bz = rad_b_ * zb
-            u_choice = us[3]
-
-            # hemisphere fold about n
-            bd = bx * nx + by * ny + bz * nz
-            hx = jnp.where(bd < 0.0, bx - 2.0 * bd * nx, bx)
-            hy = jnp.where(bd < 0.0, by - 2.0 * bd * ny, by)
-            hz = jnp.where(bd < 0.0, bz - 2.0 * bd * nz, bz)
-
-            # reflect d about n
-            ddn = sdx * nx + sdy * ny + sdz * nz
-            rxd = sdx - 2.0 * ddn * nx
-            ryd = sdy - 2.0 * ddn * ny
-            rzd = sdz - 2.0 * ddn * nz
-
-            # metal dir = reflect + roughness*ball
-            mexd = rxd + rough * bx
-            meyd = ryd + rough * by
-            mezd = rzd + rough * bz
-
-            # dielectric
-            ffb = ff > 0
-            eta = jnp.where(ffb, 1.0 / ior, ior)
-            cos_in = jnp.minimum(-(ddn), 1.0)
-            critical = eta * jnp.sqrt(jnp.maximum(1.0 - cos_in * cos_in, 0.0)) > 1.0
-            r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
-            fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(ddn)) ** 5
-            # refract (tracing.rs:64-69)
-            ct = jnp.minimum(-(ddn), 1.0)
-            perp_x = eta * (sdx + ct * nx)
-            perp_y = eta * (sdy + ct * ny)
-            perp_z = eta * (sdz + ct * nz)
-            perp2 = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
-            par = -jnp.sqrt(jnp.abs(1.0 - perp2))
-            refr_x = perp_x + par * nx
-            refr_y = perp_y + par * ny
-            refr_z = perp_z + par * nz
-            will_refract = (~critical) & (u_choice >= fres)
-            diex = jnp.where(will_refract, refr_x, rxd)
-            diey = jnp.where(will_refract, refr_y, ryd)
-            diez = jnp.where(will_refract, refr_z, rzd)
-
-            # parameterized
-            r0_15 = jnp.float32(((1.5 - 1.0) / (1.5 + 1.0)) ** 2)
-            fres15 = r0_15 + (1.0 - r0_15) * (1.0 - jnp.abs(ddn)) ** 5
-            k_s = fres15 * (1.0 - rough)
-            k_d = (1.0 - k_s) * (1.0 - metal)
-            diffuse = u_choice < k_d
-            par_x = jnp.where(diffuse, hx, mexd)
-            par_y = jnp.where(diffuse, hy, meyd)
-            par_z = jnp.where(diffuse, hz, mezd)
-            par_ar = jnp.where(diffuse, alb_r / PI, 1.0 + (alb_r - 1.0) * metal)
-            par_ag = jnp.where(diffuse, alb_g / PI, 1.0 + (alb_g - 1.0) * metal)
-            par_ab = jnp.where(diffuse, alb_b / PI, 1.0 + (alb_b - 1.0) * metal)
-            par_pdf = jnp.where(diffuse, jnp.float32(1.0 / TWO_PI), 1.0)
-
-            # switch
-            is_lam = mtype == matlib.LAMBERTIAN
-            is_met = mtype == matlib.METAL
-            is_die = mtype == matlib.DIELECTRIC
-            is_par = mtype == matlib.PARAMETERIZED
-            is_iso = mtype == matlib.ISOTROPIC
-
-            ndx = jnp.where(is_met, mexd, hx)
-            ndy = jnp.where(is_met, meyd, hy)
-            ndz = jnp.where(is_met, mezd, hz)
-            ndx = jnp.where(is_die, diex, ndx)
-            ndy = jnp.where(is_die, diey, ndy)
-            ndz = jnp.where(is_die, diez, ndz)
-            ndx = jnp.where(is_par, par_x, ndx)
-            ndy = jnp.where(is_par, par_y, ndy)
-            ndz = jnp.where(is_par, par_z, ndz)
-            ndx = jnp.where(is_iso, bx, ndx)
-            ndy = jnp.where(is_iso, by, ndy)
-            ndz = jnp.where(is_iso, bz, ndz)
-
-            inv_pi = jnp.float32(1.0 / PI)
-            atr = jnp.where(is_lam, alb_r * inv_pi, alb_r)
-            atg = jnp.where(is_lam, alb_g * inv_pi, alb_g)
-            atb = jnp.where(is_lam, alb_b * inv_pi, alb_b)
-            atr = jnp.where(is_die, 1.0, atr)
-            atg = jnp.where(is_die, 1.0, atg)
-            atb = jnp.where(is_die, 1.0, atb)
-            atr = jnp.where(is_par, par_ar, atr)
-            atg = jnp.where(is_par, par_ag, atg)
-            atb = jnp.where(is_par, par_ab, atb)
-
-            pdf = jnp.where(is_lam, jnp.float32(1.0 / TWO_PI), 1.0)
-            pdf = jnp.where(is_par, par_pdf, pdf)
-
-            # dot term (tracing.rs:313): |new_dir . n| clamped; 1 when
-            # the normal is zero (volume scatter)
-            n2 = nx * nx + ny * ny + nz * nz
-            dot_nd = jnp.abs(ndx * nx + ndy * ny + ndz * nz)
-            dot_term = jnp.where(n2 > 0.0, jnp.clip(dot_nd, 0.0, 1.0), 1.0)
-            fac = dot_term / pdf
-
-            tr = jnp.where(live_hit, tr * fac * atr, tr)
-            tg = jnp.where(live_hit, tg * fac * atg, tg)
-            tb = jnp.where(live_hit, tb * fac * atb, tb)
-            sox = jnp.where(live_hit, px, sox)
-            soy = jnp.where(live_hit, py, soy)
-            soz = jnp.where(live_hit, pz, soz)
-            sdx = jnp.where(live_hit, ndx, sdx)
-            sdy = jnp.where(live_hit, ndy, sdy)
-            sdz = jnp.where(live_hit, ndz, sdz)
-            segs = segs + alive.astype(jnp.float32)
-            alive = live_hit
-
-            return (sox, soy, soz, sdx, sdy, sdz,
-                    tr, tg, tb, rr, rg, rb, alive, segs)
 
         # Unrolled: path_depth is static, and Mosaic cannot legalize an
         # scf.for with this carry structure (bool + 14 vectors). Unrolling
         # also lets the compiler specialize bounce 0 (throughput == 1).
         for depth in range(path_depth):
-            state = bounce(depth, state)
+            state = bounce(jnp.uint32(SITE_BOUNCE0 + depth), state)
         (_, _, _, _, _, _, _, _, _, rr, rg, rb, _, segs) = state
         rad_r[:] = rr
         rad_g[:] = rg
@@ -729,4 +755,205 @@ def path_trace_pallas(
     )
     # padded lanes were alive rays shooting d=0 — exclude their segments
     segments = jnp.sum(segs.reshape(-1)[:n])
+    return radiance, segments
+
+
+def _make_step_kernel(counts, *, t_min, max_dist):
+    """One bounce as its own kernel (wavefront mode): state planes in,
+    state planes out. Each grid block skips all compute when none of its
+    rays are alive — with dead rays compacted to the tail between bounces
+    (path_trace_wavefront), whole blocks of dead rays cost only their
+    block DMA."""
+
+    def kernel(
+        key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
+        mesh_xf, mesh_tri, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
+        ox, oy, oz, dx, dy, dz, uid, tr, tg, tb, rr, rg, rb, alive_i,
+        o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
+        o_tr, o_tg, o_tb, o_rr, o_rg, o_rb, o_alive,
+    ):
+        shape = ox.shape
+        k0 = key_ref[0]
+        k1 = key_ref[1]
+        site = key_ref[2]
+        uid_u = uid[:].astype(jnp.uint32)
+
+        bounce = _build_bounce(
+            counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
+            tri_m, vol_f, vol_m, mesh_xf, mesh_tri, mesh_nrm, mesh_meta,
+            mat_tab, sl_bounds, k0, k1, uid_u, shape,
+        )
+
+        any_alive = jnp.sum(alive_i[:]) > 0
+
+        # Predicated ref-writes instead of a value-carrying lax.cond: an
+        # scf.if with a 14-vector (incl. bool) carry fails Mosaic
+        # legalization, but pl.when bodies mutating output refs lower fine.
+        @pl.when(any_alive)
+        def _():
+            state_in = (
+                ox[:], oy[:], oz[:], dx[:], dy[:], dz[:],
+                tr[:], tg[:], tb[:], rr[:], rg[:], rb[:],
+                alive_i[:] > 0, ox[:] * 0.0,  # segs counted by caller
+            )
+            (sox, soy, soz, sdx, sdy, sdz,
+             str_, stg, stb, srr, srg, srb, salive, _) = bounce(site, state_in)
+            o_ox[:] = sox
+            o_oy[:] = soy
+            o_oz[:] = soz
+            o_dx[:] = sdx
+            o_dy[:] = sdy
+            o_dz[:] = sdz
+            o_tr[:] = str_
+            o_tg[:] = stg
+            o_tb[:] = stb
+            o_rr[:] = srr
+            o_rg[:] = srg
+            o_rb[:] = srb
+            o_alive[:] = salive.astype(jnp.int32)
+
+        @pl.when(jnp.logical_not(any_alive))
+        def _():
+            o_ox[:] = ox[:]
+            o_oy[:] = oy[:]
+            o_oz[:] = oz[:]
+            o_dx[:] = dx[:]
+            o_dy[:] = dy[:]
+            o_dz[:] = dz[:]
+            o_tr[:] = tr[:]
+            o_tg[:] = tg[:]
+            o_tb[:] = tb[:]
+            o_rr[:] = rr[:]
+            o_rg[:] = rg[:]
+            o_rb[:] = rb[:]
+            o_alive[:] = alive_i[:]
+
+    return kernel
+
+
+def _stable_partition(alive_i, arrays):
+    """Stable partition of flat arrays: alive rows first, dead rows after,
+    order preserved within each class. Deterministic; the content-keyed
+    RNG makes results invariant under any permutation of rays."""
+    alive = alive_i > 0
+    na = jnp.cumsum(alive.astype(jnp.int32))
+    nd = jnp.cumsum((~alive).astype(jnp.int32))
+    total_alive = na[-1]
+    pos = jnp.where(alive, na - 1, total_alive + nd - 1)
+    return [jnp.zeros_like(a).at[pos].set(a) for a in arrays]
+
+
+def path_trace_wavefront(
+    scene,
+    tables: dict,
+    o,
+    d,
+    uids,
+    rng_key,
+    path_depth: int,
+    max_trace_dist: float,
+    t_min: float = 0.001,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: bool = False,
+    compact: bool = True,
+):
+    """Wavefront path trace: one step-kernel dispatch per bounce with
+    dead-ray compaction in between.
+
+    Equivalent to path_trace_pallas (identical RNG counters per
+    (uid, site)), but rays that terminate stop costing compute: after the
+    stable partition, blocks whose rays are all dead skip the bounce body
+    (lax.cond in the step kernel). On open scenes where ~half the segment
+    budget dies mid-path this converts directly into throughput.
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    n = o.shape[0]
+    block = block_rows * LANES
+    n_pad = (n + block - 1) // block * block
+    grid = n_pad // block
+
+    def flat(x, dtype=jnp.float32, fill=0):
+        x = jnp.broadcast_to(jnp.asarray(x, dtype), (n,))
+        return jnp.pad(x, (0, n_pad - n), constant_values=fill)
+
+    ox = flat(o[:, 0])
+    oy = flat(o[:, 1])
+    oz = flat(o[:, 2])
+    dx = flat(d[:, 0])
+    dy = flat(d[:, 1])
+    dz = flat(d[:, 2])
+    uid = flat(uids, jnp.int32)
+    one = jnp.ones((n_pad,), jnp.float32)
+    zero = jnp.zeros((n_pad,), jnp.float32)
+    tr = one
+    tg = one
+    tb = one
+    rr = zero
+    rg = zero
+    rb = zero
+    alive = flat(jnp.ones((n,), jnp.int32), jnp.int32)  # padding dead
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+
+    counts = dict(
+        n_sph=scene.n_spheres,
+        n_pln=scene.n_planes,
+        n_tri=scene.n_tris,
+        n_vol=scene.n_volumes,
+        mesh_ranges=scene.kmesh_ranges,
+        sl_ranges=scene.ksl_ranges,
+        n_mat=int(scene.mat_type.shape[0]),
+    )
+    kernel = _make_step_kernel(counts, t_min=t_min, max_dist=max_trace_dist)
+
+    ray_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    fshape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
+
+    def plane(x):
+        return x.reshape(n_pad // LANES, LANES)
+
+    segments = jnp.zeros((), jnp.float32)
+    from cs397raytracingsp22_tpu.utils.rng import SITE_BOUNCE0 as _S0
+
+    for b in range(path_depth):
+        segments = segments + jnp.sum(alive.astype(jnp.float32))
+        key3 = jnp.concatenate(
+            [jnp.asarray(rng_key, jnp.uint32), jnp.asarray([_S0 + b], jnp.uint32)]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[smem] * 15 + [ray_spec] * 14,
+            out_specs=[ray_spec] * 13,
+            out_shape=[fshape] * 12 + [ishape],
+            interpret=interpret,
+        )(
+            key3,
+            scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
+            scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
+            tables["mesh_xf"], scene.kmesh_tri, tables["mesh_nrm"],
+            tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
+            plane(ox), plane(oy), plane(oz), plane(dx), plane(dy), plane(dz),
+            plane(uid), plane(tr), plane(tg), plane(tb),
+            plane(rr), plane(rg), plane(rb), plane(alive),
+        )
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, alive) = [
+            x.reshape(-1) for x in outs
+        ]
+        if compact and b < path_depth - 1:
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, uid, idx, alive) = (
+                _stable_partition(
+                    alive,
+                    [ox, oy, oz, dx, dy, dz, tr, tg, tb, rr, rg, rb, uid, idx, alive],
+                )
+            )
+
+    # un-permute radiance back to the caller's ray order
+    out_r = jnp.zeros((n_pad,), jnp.float32).at[idx].set(rr)[:n]
+    out_g = jnp.zeros((n_pad,), jnp.float32).at[idx].set(rg)[:n]
+    out_b = jnp.zeros((n_pad,), jnp.float32).at[idx].set(rb)[:n]
+    radiance = jnp.stack([out_r, out_g, out_b], axis=-1)
     return radiance, segments

@@ -108,3 +108,39 @@ def test_kernel_volume_scene():
         np.asarray(out_rad), np.asarray(ref_rad), rtol=1e-3, atol=1e-4
     )
     np.testing.assert_allclose(float(out_segs), float(ref_segs))
+
+
+@pytest.mark.slow
+def test_wavefront_matches_full_kernel(bench_like_scene):
+    """Per-bounce wavefront with compaction must produce the same image
+    as the full-loop kernel and the jnp integrator (identical RNG per
+    (uid, site) regardless of ray permutation)."""
+    scene = bench_like_scene
+    data = scene.compile()
+    tables = bounce.build_bounce_tables(data)
+
+    n = 512
+    key = threefry.key_words(77)
+    o, d = scene.camera.generate_rays(key, jnp.arange(n // 4, dtype=jnp.int32), spp=4)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    uids = jnp.arange(n, dtype=jnp.int32)
+
+    ref_rad, ref_segs = integrator.path_trace(
+        data, o, d, uids, key, 4, scene.camera.max_trace_dist
+    )
+    wf_rad, wf_segs = bounce.path_trace_wavefront(
+        data, tables, o, d, uids, key, 4, scene.camera.max_trace_dist
+    )
+    np.testing.assert_allclose(
+        np.asarray(wf_rad), np.asarray(ref_rad), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(float(wf_segs), float(ref_segs))
+
+    # no-compaction variant must be identical too
+    wf2_rad, wf2_segs = bounce.path_trace_wavefront(
+        data, tables, o, d, uids, key, 4, scene.camera.max_trace_dist, compact=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(wf2_rad), np.asarray(wf_rad), rtol=1e-5, atol=1e-6
+    )
