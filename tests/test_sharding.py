@@ -47,3 +47,15 @@ def test_sharded_matches_single_device(small_scene, shape):
 def test_mesh_construction():
     mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
     assert mesh.shape["dp"] == 4 and mesh.shape["sp"] == 2
+
+
+def test_render_to_image_sharded_matches_driver(small_scene):
+    """Full sharded image == single-device driver image, bit for bit."""
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+
+    scene, _ = small_scene
+    img_ref, _ = render_to_image(scene, seed=4, verbose=False)
+    mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
+    img_sh, stats = sharding.render_to_image_sharded(scene, mesh, seed=4, verbose=False)
+    np.testing.assert_array_equal(img_ref, img_sh)
+    assert stats.device_count == 8
