@@ -37,6 +37,7 @@ SceneObject = Union[Sphere, Triangle, Plane, ConvexVolume, StaticMesh]
     data_fields=[
         "tri_verts",
         "tri_table",
+        "tri_bw",
         "tri_chunks",
         "tri_normals",
         "tri_uvs",
@@ -63,6 +64,7 @@ class MeshBlock:
 
     tri_verts: jnp.ndarray  # (NT, 3, 3) object-space corners
     tri_table: jnp.ndarray  # (NT, 9) [a, b-a, c-a] rows for the scan kernel
+    tri_bw: jnp.ndarray  # (NT, 12) Baldwin-Weber rows [n, n.a, u_row, u_c, v_row, v_c]
     tri_chunks: jnp.ndarray  # (C, 8, 9) sublane-chunked table (big-mesh kernel)
     tri_normals: jnp.ndarray  # (NT, 3, 3) per-corner normals
     tri_uvs: jnp.ndarray  # (NT, 3, 2) per-corner texcoords
@@ -120,6 +122,7 @@ _SCENE_DATA_FIELDS = [
     "kvol_m",
     "kmesh_xf",
     "kmesh_tri",
+    "kmesh_bw",
     "ksl_bounds",
 ]
 
@@ -194,6 +197,11 @@ class SceneData:
     kvol_m: jnp.ndarray
     kmesh_xf: jnp.ndarray
     kmesh_tri: jnp.ndarray
+    # (TT, 12) Baldwin-Weber precomputed rows [n(3), n.a, u_row(3), u_c,
+    # v_row(3), v_c]: the mega-bounce kernel's triangle test needs only
+    # 3 dot3s + 1 divide per (ray, tri) against these (vs Möller-Trumbore's
+    # two cross products per pair) — same hit set, rows built in float64.
+    kmesh_bw: jnp.ndarray
     ksl_bounds: jnp.ndarray  # (NSL, 6) superleaf AABBs (epsilon-padded)
     # static actual counts (arrays are padded)
     n_spheres: int
@@ -325,7 +333,9 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
     )
     mesh_xf = np.zeros((max(1, len(dense_ids)), 12), np.float32)
     ranges = []
+    real_counts = []
     tables = []
+    bw_tables = []
     cursor = 0
     for k, mi in enumerate(dense_ids):
         m = mesh_blocks[mi]
@@ -333,13 +343,27 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         mesh_xf[k, :9] = inv[:3, :3].reshape(-1)
         mesh_xf[k, 9:] = inv[:3, 3]
         tt = np.asarray(m.tri_table)
-        tables.append(tt)
-        ranges.append((cursor, int(tt.shape[0])))
-        cursor += int(tt.shape[0])
+        bw = np.asarray(m.tri_bw)
+        # Pad each mesh to a 16-multiple so every superleaf group is
+        # exactly 16 triangles — the mega-bounce kernel fully unrolls the
+        # group body. All-zero rows are inert: MT det = 0 and BW n·d = 0
+        # are both rejected by the epsilon test.
+        nt = int(tt.shape[0])
+        nt_pad = (nt + 15) // 16 * 16
+        tables.append(_pad_rows(tt, nt_pad, 0.0))
+        bw_tables.append(_pad_rows(bw, nt_pad, 0.0))
+        ranges.append((cursor, nt_pad))
+        real_counts.append(nt)
+        cursor += nt_pad
     kmesh_tri = (
         np.concatenate(tables, axis=0).astype(np.float32)
         if tables
         else np.zeros((1, 9), np.float32)
+    )
+    kmesh_bw = (
+        np.concatenate(bw_tables, axis=0).astype(np.float32)
+        if bw_tables
+        else np.zeros((1, 12), np.float32)
     )
 
     # Superleaf AABBs: consecutive groups of SL triangles in BVH order
@@ -351,10 +375,12 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
     SL = 16
     sl_bounds = []
     sl_ranges = []  # per dense mesh: (first superleaf, count)
-    for start, count in ranges:
+    for (start, count), real in zip(ranges, real_counts):
         first = len(sl_bounds)
         for s0 in range(0, count, SL):
-            rows = kmesh_tri[start + s0 : start + min(s0 + SL, count)]
+            # bounds over REAL rows only — padding rows are all-zero and
+            # would wrongly pull the group AABB to the origin
+            rows = kmesh_tri[start + s0 : start + min(s0 + SL, real)]
             a = rows[:, 0:3]
             b = a + rows[:, 3:6]
             c = a + rows[:, 6:9]
@@ -408,6 +434,7 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         kvol_m=i32(vol_mat),
         kmesh_xf=jnp.asarray(mesh_xf),
         kmesh_tri=jnp.asarray(kmesh_tri),
+        kmesh_bw=jnp.asarray(kmesh_bw),
         ksl_bounds=jnp.asarray(ksl_bounds),
         n_spheres=len(sph_center),
         n_planes=len(pln_point),
@@ -417,6 +444,43 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         ksl_ranges=tuple(sl_ranges),
         dense_mesh_ids=dense_ids,
     )
+
+
+def _baldwin_weber_rows(verts: np.ndarray) -> np.ndarray:
+    """Per-triangle Baldwin–Weber intersection rows, built in float64.
+
+    For triangle (a, b, c) with e1 = b-a, e2 = c-a, n = e1×e2:
+      row = [n(3), n·a, ū(3), -ū·a, v̄(3), -v̄·a]
+    where ū = (e2×n)/|n|² satisfies ū·e1 = 1, ū·e2 = 0 (and v̄ mirrored),
+    so for a hit point P: u = ū·P + u_c, v = v̄·P + v_c are exactly the
+    Möller–Trumbore barycentrics (geometry.rs:331-349), while
+    t = (n·a − n·o)/(n·d) with |n·d| = |MT det| — the parallel-ray
+    epsilon test carries over unchanged. Degenerate (zero-area) triangles
+    get all-zero rows: n·d = 0 → rejected, matching MT's det≈0 reject.
+    """
+    v = verts.astype(np.float64)
+    a, b, c = v[:, 0], v[:, 1], v[:, 2]
+    e1 = b - a
+    e2 = c - a
+    n = np.cross(e1, e2)
+    n2 = np.sum(n * n, axis=-1, keepdims=True)
+    ok = n2 > 0.0
+    inv_n2 = np.where(ok, 1.0 / np.where(ok, n2, 1.0), 0.0)
+    u_row = np.cross(e2, n) * inv_n2
+    v_row = np.cross(n, e1) * inv_n2
+    n = np.where(ok, n, 0.0)
+    rows = np.concatenate(
+        [
+            n,
+            np.sum(n * a, axis=-1, keepdims=True),
+            u_row,
+            -np.sum(u_row * a, axis=-1, keepdims=True),
+            v_row,
+            -np.sum(v_row * a, axis=-1, keepdims=True),
+        ],
+        axis=1,
+    )
+    return rows.astype(np.float32)
 
 
 def _compile_mesh(
@@ -452,12 +516,14 @@ def _compile_mesh(
     tri_table = np.concatenate(
         [rv[:, 0], rv[:, 1] - rv[:, 0], rv[:, 2] - rv[:, 0]], axis=1
     ).astype(np.float32)
+    tri_bw = _baldwin_weber_rows(rv)
 
     from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import pack_tri_chunks
 
     return MeshBlock(
         tri_verts=jnp.asarray(verts[order]),
         tri_table=jnp.asarray(tri_table),
+        tri_bw=jnp.asarray(tri_bw),
         tri_chunks=jnp.asarray(pack_tri_chunks(tri_table)),
         tri_normals=jnp.asarray(normals[order]),
         tri_uvs=jnp.asarray(uvs[order]),

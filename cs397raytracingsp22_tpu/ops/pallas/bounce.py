@@ -97,7 +97,7 @@ def scene_is_simple(scene) -> bool:
 
 
 def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
-                  tri_m, vol_f, vol_m, mesh_xf, mesh_tri, mesh_nrm, mesh_meta,
+                  tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
                   mat_tab, sl_bounds, k0, k1, uid_u, shape):
     """Build the single-bounce update used by both the full-loop kernel
     and the per-bounce wavefront step kernel. `site_u32` is the RNG draw
@@ -180,8 +180,10 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             return upd(carry, ok, t, 0, sph_m[s], fzero, fzero,
                        sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
 
-        if n_sph:
-            carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
+        # static unroll: small loops with Python-int indices let Mosaic
+        # fold the SMEM loads into static offsets and schedule freely
+        for s in range(n_sph):
+            carry = sph_body(s, carry)
 
         def pln_body(p, carry):
             px = pln_f[p, 0]
@@ -201,8 +203,8 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             return upd(carry, ok, t, 1, pln_m[p], fzero, fzero,
                        fx, fy, fz, jnp.ones(shape, jnp.int32))
 
-        if n_pln:
-            carry = jax.lax.fori_loop(0, n_pln, pln_body, carry)
+        for p in range(n_pln):
+            carry = pln_body(p, carry)
 
         def mt(ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, ox_, oy_, oz_,
                dx_, dy_, dz_, best):
@@ -240,8 +242,8 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             return upd(carry, ok, t, 2, tri_m[i], fzero, fzero,
                        sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
 
-        if n_tri:
-            carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+        for i in range(n_tri):
+            carry = tri_body(i, carry)
 
         # bounce RNG (drawn before volumes need it)
         site = site_u32
@@ -302,15 +304,37 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
             def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
                           mdx=mdx, mdy=mdy, mdz=mdz, mi=mi):
+                # Baldwin–Weber test off the precomputed rows: 3 dot3s +
+                # one divide per (ray, tri), and only the carries a mesh
+                # winner actually needs (t, code, u, v + corner normals) —
+                # material/normal/frontface resolve happens post-scan.
+                # Same hit set as Möller–Trumbore: |n·d| = |MT det|, and
+                # u, v are the same barycentrics (models/scene.py
+                # _baldwin_weber_rows).
                 carry, cn = packed
-                ok, t, u, v = mt(
-                    mesh_tri[i, 0], mesh_tri[i, 1], mesh_tri[i, 2],
-                    mesh_tri[i, 3], mesh_tri[i, 4], mesh_tri[i, 5],
-                    mesh_tri[i, 6], mesh_tri[i, 7], mesh_tri[i, 8],
-                    mox, moy, moz, mdx, mdy, mdz, carry[0],
+                den = (mesh_bw[i, 0] * mdx + mesh_bw[i, 1] * mdy
+                       + mesh_bw[i, 2] * mdz)
+                no_ = (mesh_bw[i, 0] * mox + mesh_bw[i, 1] * moy
+                       + mesh_bw[i, 2] * moz)
+                den_ok = jnp.abs(den) >= MT_EPSILON
+                rcp = 1.0 / jnp.where(den_ok, den, 1.0)
+                t = (mesh_bw[i, 3] - no_) * rcp
+                px = mox + t * mdx
+                py = moy + t * mdy
+                pz = moz + t * mdz
+                u = (mesh_bw[i, 4] * px + mesh_bw[i, 5] * py
+                     + mesh_bw[i, 6] * pz + mesh_bw[i, 7])
+                v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
+                     + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
+                ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                      & (t >= t_min) & (t < carry[0]))
+                best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
+                carry = (
+                    jnp.where(ok, t, best_t),
+                    jnp.where(ok, 4 + mi, code),
+                    mat, jnp.where(ok, u, uu), jnp.where(ok, v, vv),
+                    nx, ny, nz, ff,
                 )
-                carry = upd(carry, ok, t, 4 + mi, mesh_meta[mi], u, v,
-                            fzero, fzero, fzero, izero)
                 cn = tuple(
                     jnp.where(ok, mesh_nrm[i, j], cn[j]) for j in range(9)
                 )
@@ -346,13 +370,17 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 any_hit = jnp.sum((thi > tlo).astype(jnp.float32)) > 0.0
 
                 lo_i = start + s * 16
-                hi_i = jnp.minimum(lo_i + 16, start + count)
-                return jax.lax.cond(
-                    any_hit,
-                    lambda p: jax.lax.fori_loop(lo_i, hi_i, mesh_body, p),
-                    lambda p: p,
-                    packed,
-                )
+                # Groups are always exactly 16 triangles (the scene
+                # compiler pads each dense mesh with inert zero rows), so
+                # the group body fully unrolls: one big basic block in
+                # which Mosaic can hoist the 12 SMEM loads per triangle
+                # ahead of the vector math instead of stalling on each.
+                def run_group(p, lo_i=lo_i, mesh_body=mesh_body):
+                    for k in range(16):
+                        p = mesh_body(lo_i + k, p)
+                    return p
+
+                return jax.lax.cond(any_hit, run_group, lambda p: p, packed)
 
             carry, cn = jax.lax.fori_loop(
                 0, sl_count, sl_body, (carry, tuple(cn))
@@ -361,9 +389,11 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
         best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
 
-        # mesh winner: interpolate + flip + normal-matrix transform
+        # mesh winner: material id, interpolate + flip + normal-matrix
+        # transform (the scan carries only t/code/u/v + corner normals)
         for mi in range(n_mesh):
             mask = code == 4 + mi
+            mat = jnp.where(mask, mesh_meta[mi], mat)
             w = 1.0 - uu - vv
             inx = uu * cn[3] + vv * cn[6] + w * cn[0]
             iny = uu * cn[4] + vv * cn[7] + w * cn[1]
@@ -580,7 +610,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
 
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
-        mesh_xf, mesh_tri, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
+        mesh_xf, mesh_bw, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
         ox, oy, oz, dx, dy, dz, uid,
         rad_r, rad_g, rad_b, seg_out,
     ):
@@ -610,7 +640,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
 
         bounce = _build_bounce(
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
-            tri_m, vol_f, vol_m, mesh_xf, mesh_tri, mesh_nrm, mesh_meta,
+            tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
             mat_tab, sl_bounds, k0, k1, uid_u, shape,
         )
 
@@ -652,7 +682,13 @@ def build_bounce_tables(scene):
                 ]
             )
         )
-        nrms.append(jnp.asarray(m.tri_normals).reshape(-1, 9))
+        nr = jnp.asarray(m.tri_normals).reshape(-1, 9)
+        # match the 16-multiple padding of kmesh_bw rows (scene.py) so
+        # global row indices line up across tables
+        pad = (-nr.shape[0]) % 16
+        if pad:
+            nr = jnp.concatenate([nr, jnp.zeros((pad, 9), jnp.float32)])
+        nrms.append(nr)
         metas.append(m.mat_id)
     mesh_xf = (
         jnp.stack(rows) if rows else jnp.zeros((1, 21), jnp.float32)
@@ -746,7 +782,7 @@ def path_trace_pallas(
         rng_key,
         scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
         scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
-        tables["mesh_xf"], scene.kmesh_tri, tables["mesh_nrm"],
+        tables["mesh_xf"], scene.kmesh_bw, tables["mesh_nrm"],
         tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
         *planes,
     )
@@ -767,7 +803,7 @@ def _make_step_kernel(counts, *, t_min, max_dist):
 
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
-        mesh_xf, mesh_tri, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
+        mesh_xf, mesh_bw, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
         ox, oy, oz, dx, dy, dz, uid, tr, tg, tb, rr, rg, rb, alive_i,
         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
         o_tr, o_tg, o_tb, o_rr, o_rg, o_rb, o_alive,
@@ -780,7 +816,7 @@ def _make_step_kernel(counts, *, t_min, max_dist):
 
         bounce = _build_bounce(
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
-            tri_m, vol_f, vol_m, mesh_xf, mesh_tri, mesh_nrm, mesh_meta,
+            tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
             mat_tab, sl_bounds, k0, k1, uid_u, shape,
         )
 
@@ -934,7 +970,7 @@ def path_trace_wavefront(
             key3,
             scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
             scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
-            tables["mesh_xf"], scene.kmesh_tri, tables["mesh_nrm"],
+            tables["mesh_xf"], scene.kmesh_bw, tables["mesh_nrm"],
             tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
             plane(ox), plane(oy), plane(oz), plane(dx), plane(dy), plane(dz),
             plane(uid), plane(tr), plane(tg), plane(tb),
