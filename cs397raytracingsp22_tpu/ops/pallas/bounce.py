@@ -39,14 +39,39 @@ from cs397raytracingsp22_tpu.utils.rng import SITE_BOUNCE0
 
 MT_EPSILON = 1e-4
 LANES = 128
-# 16 rows × 128 lanes = 2048 rays/block: measured optimum on v5e (138
-# Mrays/s vs 110 at 32 rows, 94 at 8) — smaller blocks pipeline better
-# and keep primary-ray frustums tight for the superleaf culling.
-DEFAULT_BLOCK_ROWS = 16
+# 32 rows × 128 lanes = 4096 rays/block: measured optimum on v5e with the
+# Baldwin–Weber unrolled scan (266 Mrays/s vs 261 at 16 rows, 248 at 64,
+# 139 at 8 — re-measured after the per-tri cost dropped; larger blocks
+# amortize the per-block prologue once the scan stopped stalling).
+DEFAULT_BLOCK_ROWS = 32
 PI = 3.14159265358979
 TWO_PI = 2.0 * PI
 
 _ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+
+
+# Below this dense-mesh size, superleaf culling is disabled on bounce ≥ 1:
+# incoherent tiles practically never cull (any-of-2048 rays crosses every
+# group box), so the per-group slab + reduce + cond overhead is pure loss —
+# measured 267 vs 245 Mrays/s on the 240-tri north-star at depth 8. On
+# coherent primary tiles (bounce 0) culling is a 1.5× win (281 vs 185 at
+# depth 1), so bounce 0 always culls.
+SL_MIN_TRIS_DEEP = 1024
+
+
+def _superleaf_mode() -> str:
+    """RT_SL: "1" auto (cull bounce 0 + big meshes, the default),
+    "0" never, "2" always. Diagnostics/benchmark knob."""
+    import os
+
+    return os.environ.get("RT_SL", "1")
+
+
+def _block_rows_default() -> int:
+    """Block row count (RT_BLOCK_ROWS overrides for sweeps)."""
+    import os
+
+    return int(os.environ.get("RT_BLOCK_ROWS", str(DEFAULT_BLOCK_ROWS)))
 
 
 def _rotl(x, r):
@@ -98,10 +123,12 @@ def scene_is_simple(scene) -> bool:
 
 def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                   tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
-                  mat_tab, sl_bounds, k0, k1, uid_u, shape):
+                  mat_tab, sl_bounds, k0, k1, uid_u, shape, primary=False):
     """Build the single-bounce update used by both the full-loop kernel
     and the per-bounce wavefront step kernel. `site_u32` is the RNG draw
-    site (SITE_BOUNCE0 + depth), scalar."""
+    site (SITE_BOUNCE0 + depth), scalar. `primary` marks a bounce whose
+    rays are coherent camera rays: superleaf culling is enabled there
+    (and for big meshes at any depth — see SL_MIN_TRIS_DEEP)."""
     n_sph = counts["n_sph"]
     n_pln = counts["n_pln"]
     n_tri = counts["n_tri"]
@@ -341,6 +368,25 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 return carry, cn
 
             sl_first, sl_count = sl_ranges[mi]
+            mode = _superleaf_mode()
+            cull = (mode == "2") or (
+                mode == "1" and (primary or count >= SL_MIN_TRIS_DEEP)
+            )
+            if not cull:
+                # Incoherent small-mesh scan: plain dense groups, no
+                # per-group slab/reduce/cond (they never cull here and
+                # their overhead is measurable).
+                def group_body(s, packed, mesh_body=mesh_body, start=start):
+                    lo_i = start + s * 16
+                    for k in range(16):
+                        packed = mesh_body(lo_i + k, packed)
+                    return packed
+
+                carry, cn = jax.lax.fori_loop(
+                    0, sl_count, group_body, (carry, tuple(cn))
+                )
+                cn = list(cn)
+                continue
             inv_mdx = 1.0 / mdx
             inv_mdy = 1.0 / mdy
             inv_mdz = 1.0 / mdz
@@ -638,18 +684,21 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
             vec0,                          # segments
         )
 
-        bounce = _build_bounce(
+        common = (
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
             mat_tab, sl_bounds, k0, k1, uid_u, shape,
         )
-
+        bounce0 = _build_bounce(*common, primary=True)
+        bounce_n = _build_bounce(*common, primary=False)
 
         # Unrolled: path_depth is static, and Mosaic cannot legalize an
         # scf.for with this carry structure (bool + 14 vectors). Unrolling
-        # also lets the compiler specialize bounce 0 (throughput == 1).
+        # also lets the compiler specialize bounce 0 (throughput == 1,
+        # coherent camera rays → superleaf culling on).
         for depth in range(path_depth):
-            state = bounce(jnp.uint32(SITE_BOUNCE0 + depth), state)
+            b = bounce0 if depth == 0 else bounce_n
+            state = b(jnp.uint32(SITE_BOUNCE0 + depth), state)
         (_, _, _, _, _, _, _, _, _, rr, rg, rb, _, segs) = state
         rad_r[:] = rr
         rad_g[:] = rg
@@ -724,7 +773,7 @@ def path_trace_pallas(
     path_depth: int,
     max_trace_dist: float,
     t_min: float = 0.001,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_rows: int | None = None,
     interpret: bool = False,
 ):
     """Run the mega-bounce kernel over N primary rays.
@@ -736,6 +785,8 @@ def path_trace_pallas(
 
     Returns (radiance (N, 3), segments scalar).
     """
+    if block_rows is None:
+        block_rows = _block_rows_default()
     interpret = interpret or jax.default_backend() != "tpu"
     n = o.shape[0]
     block = block_rows * LANES
@@ -814,10 +865,12 @@ def _make_step_kernel(counts, *, t_min, max_dist):
         site = key_ref[2]
         uid_u = uid[:].astype(jnp.uint32)
 
+        # primary=True keeps culling on at every step (the wavefront
+        # caller compacts rays between bounces, restoring some coherence)
         bounce = _build_bounce(
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
-            mat_tab, sl_bounds, k0, k1, uid_u, shape,
+            mat_tab, sl_bounds, k0, k1, uid_u, shape, primary=True,
         )
 
         any_alive = jnp.sum(alive_i[:]) > 0
