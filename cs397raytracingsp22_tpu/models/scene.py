@@ -40,6 +40,7 @@ SceneObject = Union[Sphere, Triangle, Plane, ConvexVolume, StaticMesh]
         "tri_bw",
         "tri_chunks",
         "tri_normals",
+        "tri_noct",
         "tri_uvs",
         "tri_tangent",
         "bounds_min",
@@ -66,7 +67,8 @@ class MeshBlock:
     tri_table: jnp.ndarray  # (NT, 9) [a, b-a, c-a] rows for the scan kernel
     tri_bw: jnp.ndarray  # (NT, 12) Baldwin-Weber rows [n, n.a, u_row, u_c, v_row, v_c]
     tri_chunks: jnp.ndarray  # (C, 8, 9) sublane-chunked table (big-mesh kernel)
-    tri_normals: jnp.ndarray  # (NT, 3, 3) per-corner normals
+    tri_normals: jnp.ndarray  # (NT, 3, 3) per-corner normals (oct-quantized)
+    tri_noct: jnp.ndarray  # (NT, 3) uint32 octahedral-packed corner normals
     tri_uvs: jnp.ndarray  # (NT, 3, 2) per-corner texcoords
     tri_tangent: jnp.ndarray  # (NT, 3) per-triangle tangent approx
     bounds_min: jnp.ndarray  # (NN, 3)
@@ -446,6 +448,47 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
     )
 
 
+def _oct_encode(n: np.ndarray) -> np.ndarray:
+    """Octahedral-encode directions: (N, 3) float → (N,) uint32 packing
+    two 16-bit snorm components (lo = u, hi = v).
+
+    Mesh corner normals are stored quantized (angular error ≤ ~2e-5 rad —
+    two orders below u8 image quantization) so the mega-bounce kernel can
+    carry a winner's three corner normals as 3 ints instead of 9 floats
+    (ops/pallas/bounce.py). Every path decodes to the SAME f32 values, so
+    CPU/staged/mega renders stay consistent. Directions only: magnitudes
+    normalize away (OBJ vn are unit in practice; geometry.rs:350 then
+    normalizes the interpolation anyway).
+    """
+    v = n.astype(np.float64)
+    norm = np.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / np.where(norm > 0, norm, 1.0)
+    l1 = np.abs(v).sum(axis=-1, keepdims=True)
+    p = v[..., :2] / np.where(l1 > 0, l1, 1.0)
+    neg = v[..., 2] < 0.0
+    flip = (1.0 - np.abs(p[..., ::-1])) * np.where(p >= 0.0, 1.0, -1.0)
+    p = np.where(neg[..., None], flip, p)
+    q = np.round(np.clip(p, -1.0, 1.0) * 32767.0).astype(np.int64) + 32767
+    return (q[..., 0] | (q[..., 1] << 16)).astype(np.uint32)
+
+
+def _oct_decode(packed: np.ndarray) -> np.ndarray:
+    """Decode _oct_encode output to unit f32 vectors — the float32 op
+    sequence mirrors the in-kernel decode (ops/pallas/bounce.py)."""
+    w = packed.astype(np.int64)
+    fu = ((w & 0xFFFF) - 32767).astype(np.float32) * np.float32(1.0 / 32767.0)
+    fv = (((w >> 16) & 0xFFFF) - 32767).astype(np.float32) * np.float32(
+        1.0 / 32767.0
+    )
+    z = np.float32(1.0) - np.abs(fu) - np.abs(fv)
+    t = np.maximum(-z, np.float32(0.0))
+    x = fu + np.where(fu >= 0.0, -t, t)
+    y = fv + np.where(fv >= 0.0, -t, t)
+    v = np.stack([x, y, z], axis=-1).astype(np.float32)
+    n = np.sqrt((v.astype(np.float32) ** 2).sum(axis=-1, keepdims=True))
+    return (v / np.maximum(n, np.float32(1e-30))).astype(np.float32)
+
+
 def _baldwin_weber_rows(verts: np.ndarray) -> np.ndarray:
     """Per-triangle Baldwin–Weber intersection rows, built in float64.
 
@@ -517,6 +560,8 @@ def _compile_mesh(
         [rv[:, 0], rv[:, 1] - rv[:, 0], rv[:, 2] - rv[:, 0]], axis=1
     ).astype(np.float32)
     tri_bw = _baldwin_weber_rows(rv)
+    noct = _oct_encode(normals[order].astype(np.float64))  # (NT, 3)
+    normals_q = _oct_decode(noct)  # all paths consume the decoded values
 
     from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import pack_tri_chunks
 
@@ -525,7 +570,8 @@ def _compile_mesh(
         tri_table=jnp.asarray(tri_table),
         tri_bw=jnp.asarray(tri_bw),
         tri_chunks=jnp.asarray(pack_tri_chunks(tri_table)),
-        tri_normals=jnp.asarray(normals[order]),
+        tri_normals=jnp.asarray(normals_q),
+        tri_noct=jnp.asarray(noct),
         tri_uvs=jnp.asarray(uvs[order]),
         tri_tangent=jnp.asarray(tangent[order].astype(np.float32)),
         bounds_min=jnp.asarray(flat.bounds_min),

@@ -156,8 +156,9 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         ny = fzero
         nz = fzero
         ff = izero
-        # winning mesh-corner normals (for mesh winners)
-        cn = [fzero] * 9
+        # winning mesh-corner normals: 3 octahedral-packed ints (decoded
+        # post-scan for the block's winners only)
+        cn = [izero] * 3
 
         carry0 = (best_t, code, mat, uu, vv, nx, ny, nz, ff)
 
@@ -363,7 +364,7 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                     nx, ny, nz, ff,
                 )
                 cn = tuple(
-                    jnp.where(ok, mesh_nrm[i, j], cn[j]) for j in range(9)
+                    jnp.where(ok, mesh_nrm[i, j], cn[j]) for j in range(3)
                 )
                 return carry, cn
 
@@ -435,19 +436,38 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
         best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
 
-        # mesh winner: material id, interpolate + flip + normal-matrix
-        # transform (the scan carries only t/code/u/v + corner normals)
+        # mesh winner: decode the 3 octahedral-packed corner normals
+        # (scene.py _oct_decode twin), interpolate, flip, normal-matrix
+        # transform. Runs once per block on the winners — amortized over
+        # the whole scan.
+        def oct_dec(wd):
+            scale = jnp.float32(1.0 / 32767.0)
+            fu = ((wd & 0xFFFF) - 32767).astype(jnp.float32) * scale
+            fv = (((wd >> 16) & 0xFFFF) - 32767).astype(jnp.float32) * scale
+            z = 1.0 - jnp.abs(fu) - jnp.abs(fv)
+            tt = jnp.maximum(-z, 0.0)
+            x = fu + jnp.where(fu >= 0.0, -tt, tt)
+            y = fv + jnp.where(fv >= 0.0, -tt, tt)
+            inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-30)
+            return x * inv, y * inv, z * inv
+
+        if n_mesh:
+            n0x, n0y, n0z = oct_dec(cn[0])
+            n1x, n1y, n1z = oct_dec(cn[1])
+            n2x, n2y, n2z = oct_dec(cn[2])
+            w = 1.0 - uu - vv
+            inx0 = uu * n1x + vv * n2x + w * n0x
+            iny0 = uu * n1y + vv * n2y + w * n0y
+            inz0 = uu * n1z + vv * n2z + w * n0z
+            inv_len = jax.lax.rsqrt(
+                inx0 * inx0 + iny0 * iny0 + inz0 * inz0 + 1e-30
+            )
+            inx = inx0 * inv_len
+            iny = iny0 * inv_len
+            inz = inz0 * inv_len
         for mi in range(n_mesh):
             mask = code == 4 + mi
             mat = jnp.where(mask, mesh_meta[mi], mat)
-            w = 1.0 - uu - vv
-            inx = uu * cn[3] + vv * cn[6] + w * cn[0]
-            iny = uu * cn[4] + vv * cn[7] + w * cn[1]
-            inz = uu * cn[5] + vv * cn[8] + w * cn[2]
-            inv_len = jax.lax.rsqrt(inx * inx + iny * iny + inz * inz + 1e-30)
-            inx = inx * inv_len
-            iny = iny * inv_len
-            inz = inz * inv_len
             # frontface vs object-space direction
             r00 = mesh_xf[mi, 0]
             r01 = mesh_xf[mi, 1]
@@ -731,19 +751,22 @@ def build_bounce_tables(scene):
                 ]
             )
         )
-        nr = jnp.asarray(m.tri_normals).reshape(-1, 9)
+        # octahedral-packed corner normals, bitcast to int32 for SMEM
+        nr = jax.lax.bitcast_convert_type(
+            jnp.asarray(m.tri_noct), jnp.int32
+        ).reshape(-1, 3)
         # match the 16-multiple padding of kmesh_bw rows (scene.py) so
         # global row indices line up across tables
         pad = (-nr.shape[0]) % 16
         if pad:
-            nr = jnp.concatenate([nr, jnp.zeros((pad, 9), jnp.float32)])
+            nr = jnp.concatenate([nr, jnp.zeros((pad, 3), jnp.int32)])
         nrms.append(nr)
         metas.append(m.mat_id)
     mesh_xf = (
         jnp.stack(rows) if rows else jnp.zeros((1, 21), jnp.float32)
     )
     mesh_nrm = (
-        jnp.concatenate(nrms, axis=0) if nrms else jnp.zeros((1, 9), jnp.float32)
+        jnp.concatenate(nrms, axis=0) if nrms else jnp.zeros((1, 3), jnp.int32)
     )
     mesh_meta = jnp.asarray(metas if metas else [0], jnp.int32)
 
