@@ -344,9 +344,11 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                        + mesh_bw[i, 2] * mdz)
                 no_ = (mesh_bw[i, 0] * mox + mesh_bw[i, 1] * moy
                        + mesh_bw[i, 2] * moz)
-                den_ok = jnp.abs(den) >= MT_EPSILON
-                rcp = 1.0 / jnp.where(den_ok, den, 1.0)
-                t = (mesh_bw[i, 3] - no_) * rcp
+                # den_ok folds into t: epsilon-reject ⇒ t = 0 < t_min ⇒
+                # the range test rejects — no separate AND needed
+                t = jnp.where(
+                    jnp.abs(den) >= MT_EPSILON, (mesh_bw[i, 3] - no_) / den, 0.0
+                )
                 px = mox + t * mdx
                 py = moy + t * mdy
                 pz = moz + t * mdz
@@ -354,8 +356,9 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                      + mesh_bw[i, 6] * pz + mesh_bw[i, 7])
                 v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
                      + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
-                ok = (den_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                      & (t >= t_min) & (t < carry[0]))
+                # barycentric inside-test as one min-chain sign check
+                bmin = jnp.minimum(jnp.minimum(u, v), (1.0 - u) - v)
+                ok = (bmin >= 0.0) & (t >= t_min) & (t < carry[0])
                 best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
                 carry = (
                     jnp.where(ok, t, best_t),
