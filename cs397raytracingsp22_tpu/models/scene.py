@@ -38,7 +38,9 @@ SceneObject = Union[Sphere, Triangle, Plane, ConvexVolume, StaticMesh]
         "tri_verts",
         "tri_table",
         "tri_bw",
-        "tri_chunks",
+        "big_bw",
+        "big_box",
+        "big_sl",
         "tri_normals",
         "tri_noct",
         "tri_uvs",
@@ -66,7 +68,9 @@ class MeshBlock:
     tri_verts: jnp.ndarray  # (NT, 3, 3) object-space corners
     tri_table: jnp.ndarray  # (NT, 9) [a, b-a, c-a] rows for the scan kernel
     tri_bw: jnp.ndarray  # (NT, 12) Baldwin-Weber rows [n, n.a, u_row, u_c, v_row, v_c]
-    tri_chunks: jnp.ndarray  # (C, 8, 9) sublane-chunked table (big-mesh kernel)
+    big_bw: jnp.ndarray  # (P*1024, 12) piece-padded BW rows (big-mesh kernel)
+    big_box: jnp.ndarray  # (P, 6) piece AABBs
+    big_sl: jnp.ndarray  # (P*64, 6) superleaf AABBs
     tri_normals: jnp.ndarray  # (NT, 3, 3) per-corner normals (oct-quantized)
     tri_noct: jnp.ndarray  # (NT, 3) uint32 octahedral-packed corner normals
     tri_uvs: jnp.ndarray  # (NT, 3, 2) per-corner texcoords
@@ -563,13 +567,17 @@ def _compile_mesh(
     noct = _oct_encode(normals[order].astype(np.float64))  # (NT, 3)
     normals_q = _oct_decode(noct)  # all paths consume the decoded values
 
-    from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import pack_tri_chunks
+    from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import pack_big_tables
+
+    big_bw, big_box, big_sl = pack_big_tables(tri_bw, tri_table)
 
     return MeshBlock(
         tri_verts=jnp.asarray(verts[order]),
         tri_table=jnp.asarray(tri_table),
         tri_bw=jnp.asarray(tri_bw),
-        tri_chunks=jnp.asarray(pack_tri_chunks(tri_table)),
+        big_bw=jnp.asarray(big_bw),
+        big_box=jnp.asarray(big_box),
+        big_sl=jnp.asarray(big_sl),
         tri_normals=jnp.asarray(normals_q),
         tri_noct=jnp.asarray(noct),
         tri_uvs=jnp.asarray(uvs[order]),

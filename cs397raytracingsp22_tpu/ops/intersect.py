@@ -527,7 +527,8 @@ def intersect_scene_fused(
         )
 
         hit_m, t_m, tri_m, u_m, v_m = tri_scan_big_pallas(
-            o_obj, d_obj, mesh.tri_chunks, mesh.tri_verts.shape[0], t_min, t_max
+            o_obj, d_obj, mesh.big_bw, mesh.big_box, mesh.big_sl,
+            t_min, t_max,
         )
         better = hit_m & (t_m < t)
         t = jnp.where(better, t_m, t)

@@ -1,16 +1,30 @@
-"""Dense triangle scan for BIG meshes (tri table in VMEM).
+"""Dense triangle scan for BIG meshes, v3: SMEM pieces over a 2-D grid.
 
-The SMEM-table kernels (tri_scan.py, scene_intersect.py, bounce.py) cap
-out at a few thousand triangles (SMEM capacity). Big meshes — the
-reference's 32k-triangle sphere.obj — instead keep their triangle table
-in VMEM, laid out (C, 9, 8, 1): chunks of 8 triangles on the sublane
-axis. Each inner step broadcasts an (8, 1) triangle slice against a
-(1, 128) ray row, running Möller–Trumbore on full (8, 128) tiles — the
-same per-(ray, triangle) cost as the SMEM scalar loop, ~0.06 VPU ops.
+The SMEM-table kernels (tri_scan.py, scene_intersect.py, bounce.py) are
+the fastest triangle-test structure on this TPU — per-triangle scalar
+broadcasts from SMEM onto (rows,128) ray tiles multi-issue on the VPU at
+~4× the rate of the (8-tri sublane × lane) vector layout this file used
+in v1/v2 (measured 43 vs 199 cycles per 8-tri×512-ray chunk). SMEM holds
+~48KB here, so a 32k-triangle mesh cannot live there whole.
 
-This replaces the lockstep gather-bound `lax.while_loop` BVH traversal on
-TPU (~140× faster at 32k triangles); a hierarchical MXU-gather traversal
-is the planned next step for another order of magnitude.
+v3 therefore pieces the mesh through SMEM via the grid — the matmul
+k-loop pattern: grid = (ray_blocks, pieces), the piece axis innermost;
+each step DMAs one 1024-triangle piece (48KB of Baldwin–Weber rows) into
+SMEM and runs the mega-kernel-style unrolled scan over the ray block,
+accumulating (best_t, u, v, id) in the revisited output block.
+
+Two culling levels ride on top (triangles are in BVH order, so runs are
+spatially coherent):
+- piece level: skip a 1024-tri piece when no ray's slab interval against
+  the piece AABB beats its current best (lax.cond);
+- superleaf level: same test per 16-triangle run inside the piece.
+With coherent rays (primaries, sorted wavefront) this cuts tested
+triangles by 1-2 orders; incoherent rays degrade toward the dense VPU
+floor (the any-of-4096 wall, SURVEY.md §7 hard part 1).
+
+Zero padding rows are inert (Baldwin–Weber n·d = 0 rejects); padding
+superleafs/pieces carry inverted AABBs (lo=+1e30) so their slab test
+never fires.
 """
 
 from __future__ import annotations
@@ -25,155 +39,191 @@ from jax.experimental.pallas import tpu as pltpu
 
 MT_EPSILON = 1e-4
 LANES = 128
-DEFAULT_BLOCK_ROWS = 8  # rays per block = 8 * 128
+BLOCK_ROWS = 32  # 4096 rays per block (same tuning as the mega kernel)
+SL = 16  # superleaf run length (triangles)
+PIECE_TRIS = 1024  # triangles per SMEM piece (48KB of BW rows)
+SL_PER_PIECE = PIECE_TRIS // SL
 
 
-def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, tmn, tmx, bt, bu, bv, bid,
-            *, n_chunks, n_tris, block_rows):
-    """tri_ref: (C, 8, 9) VMEM — chunk × triangle-sublane × component-lane
-    (the lane dim pads 9→128; a trailing dim of 1 would pad the SUBLANE
-    data 128× and blow VMEM). Ray planes (block_rows, 128)."""
+def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
+            bt, bu, bv, bid, *, n_pieces):
+    j = pl.program_id(1)
 
-    def row_body(r, _):
-        o_x = ox[r, :][None, :]  # (1, 128)
-        o_y = oy[r, :][None, :]
-        o_z = oz[r, :][None, :]
-        d_x = dx[r, :][None, :]
-        d_y = dy[r, :][None, :]
-        d_z = dz[r, :][None, :]
-        t_min = tmn[r, :][None, :]
+    o_x = ox[:]
+    o_y = oy[:]
+    o_z = oz[:]
+    d_x = dx[:]
+    d_y = dy[:]
+    d_z = dz[:]
+    t_min = tmn[:]
 
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    @pl.when(j == 0)
+    def _():
+        bt[:] = tmx[:]
+        bu[:] = o_x * 0.0
+        bv[:] = o_x * 0.0
+        bid[:] = (o_x * 0.0).astype(jnp.int32) - 1
 
-        def chunk_body(c, carry):
-            best_t, best_u, best_v, best_id = carry  # (1, 128) each
-            ax = tri_ref[c, :, 0:1]  # (8, 1)
-            ay = tri_ref[c, :, 1:2]
-            az = tri_ref[c, :, 2:3]
-            e1x = tri_ref[c, :, 3:4]
-            e1y = tri_ref[c, :, 4:5]
-            e1z = tri_ref[c, :, 5:6]
-            e2x = tri_ref[c, :, 6:7]
-            e2y = tri_ref[c, :, 7:8]
-            e2z = tri_ref[c, :, 8:9]
+    best_t = bt[:]
+    best_u = bu[:]
+    best_v = bv[:]
+    best_id = bid[:]
 
-            qx = d_y * e2z - d_z * e2y  # (8, 128)
-            qy = d_z * e2x - d_x * e2z
-            qz = d_x * e2y - d_y * e2x
-            det = e1x * qx + e1y * qy + e1z * qz
-            det_ok = jnp.abs(det) >= MT_EPSILON
-            f = 1.0 / jnp.where(det_ok, det, 1.0)
-            sx = o_x - ax
-            sy = o_y - ay
-            sz = o_z - az
-            u = f * (sx * qx + sy * qy + sz * qz)
-            rx = sy * e1z - sz * e1y
-            ry = sz * e1x - sx * e1z
-            rz = sx * e1y - sy * e1x
-            v = f * (d_x * rx + d_y * ry + d_z * rz)
-            t = f * (e2x * rx + e2y * ry + e2z * rz)
-            tri_ids = c * 8 + sub_iota
-            ok = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                  & (t >= t_min) & (t < best_t) & (tri_ids < n_tris))
+    inv_dx = 1.0 / d_x
+    inv_dy = 1.0 / d_y
+    inv_dz = 1.0 / d_z
 
-            t_m = jnp.where(ok, t, jnp.inf)
-            chunk_best = jnp.min(t_m, axis=0, keepdims=True)  # (1, 128)
-            better = chunk_best < best_t
-            sel = (t_m == chunk_best) & ok
-            # unique winner within the chunk: tri ids are distinct, so
-            # the min id among tied-t candidates picks exactly one
-            # (Mosaic has no cumsum to do a "first true" scan)
-            id_sel = jnp.min(
-                jnp.where(sel, tri_ids, jnp.int32(1 << 30)), axis=0, keepdims=True
-            )
-            first = sel & (tri_ids == id_sel)
-            fsel = first.astype(jnp.float32)
-            u_pick = jnp.sum(u * fsel, axis=0, keepdims=True)
-            v_pick = jnp.sum(v * fsel, axis=0, keepdims=True)
-            id_pick = jnp.sum(tri_ids * first.astype(jnp.int32), axis=0, keepdims=True)
-            best_u = jnp.where(better, u_pick, best_u)
-            best_v = jnp.where(better, v_pick, best_v)
-            best_id = jnp.where(better, id_pick, best_id)
-            best_t = jnp.where(better, chunk_best, best_t)
-            return best_t, best_u, best_v, best_id
-
-        init = (
-            tmx[r, :][None, :],
-            o_x * 0.0,
-            o_x * 0.0,
-            (o_x * 0.0).astype(jnp.int32) - 1,
+    def slab_any(lox, loy, loz, hix, hiy, hiz, best):
+        t0x = (lox - o_x) * inv_dx
+        t1x = (hix - o_x) * inv_dx
+        t0y = (loy - o_y) * inv_dy
+        t1y = (hiy - o_y) * inv_dy
+        t0z = (loz - o_z) * inv_dz
+        t1z = (hiz - o_z) * inv_dz
+        lo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
         )
-        best_t, best_u, best_v, best_id = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, init
+        hi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), best),
         )
-        bt[r, :] = best_t[0]
-        bu[r, :] = best_u[0]
-        bv[r, :] = best_v[0]
-        bid[r, :] = best_id[0]
-        return 0
+        return jnp.sum((hi > lo).astype(jnp.float32)) > 0.0
 
-    jax.lax.fori_loop(0, block_rows, row_body, 0)
+    def tri_test(local, carry):
+        """Baldwin–Weber off SMEM scalars (bounce.py mesh_body twin)."""
+        best_t, best_u, best_v, best_id = carry
+        b = local * 12
+        den = (piece_bw[0, b + 0] * d_x + piece_bw[0, b + 1] * d_y
+               + piece_bw[0, b + 2] * d_z)
+        no_ = (piece_bw[0, b + 0] * o_x + piece_bw[0, b + 1] * o_y
+               + piece_bw[0, b + 2] * o_z)
+        t = jnp.where(
+            jnp.abs(den) >= MT_EPSILON, (piece_bw[0, b + 3] - no_) / den, 0.0
+        )
+        px = o_x + t * d_x
+        py = o_y + t * d_y
+        pz = o_z + t * d_z
+        u = (piece_bw[0, b + 4] * px + piece_bw[0, b + 5] * py
+             + piece_bw[0, b + 6] * pz + piece_bw[0, b + 7])
+        v = (piece_bw[0, b + 8] * px + piece_bw[0, b + 9] * py
+             + piece_bw[0, b + 10] * pz + piece_bw[0, b + 11])
+        bmin = jnp.minimum(jnp.minimum(u, v), (1.0 - u) - v)
+        ok = (bmin >= 0.0) & (t >= t_min) & (t < best_t)
+        gid = j * PIECE_TRIS + local
+        return (
+            jnp.where(ok, t, best_t),
+            jnp.where(ok, u, best_u),
+            jnp.where(ok, v, best_v),
+            jnp.where(ok, gid, best_id),
+        )
+
+    def sl_body(s, carry):
+        sb = s * 6
+        hit = slab_any(
+            piece_sl[0, sb + 0], piece_sl[0, sb + 1], piece_sl[0, sb + 2],
+            piece_sl[0, sb + 3], piece_sl[0, sb + 4], piece_sl[0, sb + 5],
+            carry[0],
+        )
+
+        def run(carry, s=s):
+            for k in range(SL):
+                carry = tri_test(s * SL + k, carry)
+            return carry
+
+        return jax.lax.cond(hit, run, lambda c: c, carry)
+
+    def scan_piece(carry):
+        return jax.lax.fori_loop(0, SL_PER_PIECE, sl_body, carry)
+
+    piece_hit = slab_any(
+        piece_box[j, 0], piece_box[j, 1], piece_box[j, 2],
+        piece_box[j, 3], piece_box[j, 4], piece_box[j, 5],
+        best_t,
+    )
+    best_t, best_u, best_v, best_id = jax.lax.cond(
+        piece_hit, scan_piece, lambda c: c,
+        (best_t, best_u, best_v, best_id),
+    )
+
+    bt[:] = best_t
+    bu[:] = best_u
+    bv[:] = best_v
+    bid[:] = best_id
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_tris", "block_rows", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def tri_scan_big_pallas(
     o: jnp.ndarray,
     d: jnp.ndarray,
-    tri_chunks: jnp.ndarray,
-    n_tris: int,
+    big_bw: jnp.ndarray,
+    big_box: jnp.ndarray,
+    big_sl: jnp.ndarray,
     t_min,
     t_max,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
     interpret: bool = False,
 ):
-    """Nearest-hit dense scan with a VMEM triangle table.
+    """Nearest-hit culled piece scan for a big mesh.
 
     Args:
       o, d: (N, 3) object-space rays.
-      tri_chunks: (C, 9, 8, 1) float32 — [a, e1, e2] components chunked
-        8 triangles per sublane group (MeshBlock.tri_chunks).
-      n_tris: actual triangle count (static; tail of the last chunk is
-        masked).
+      big_bw: (P*PIECE_TRIS, 12) float32 Baldwin–Weber rows, zero-padded
+        to whole pieces (MeshBlock.big_bw).
+      big_box: (P, 6) piece AABBs [lo, hi] (MeshBlock.big_box).
+      big_sl: (P*SL_PER_PIECE, 6) superleaf AABBs (MeshBlock.big_sl);
+        padding groups carry inverted boxes.
 
     Returns (hit, t, tri_idx, u, v) like tri_scan_pallas.
     """
     interpret = interpret or jax.default_backend() != "tpu"
     n = o.shape[0]
-    n_chunks = tri_chunks.shape[0]
-    block = block_rows * LANES
+    n_pieces = big_box.shape[0]
+    block = BLOCK_ROWS * LANES
     n_pad = (n + block - 1) // block * block
-    grid = n_pad // block
+    grid = (n_pad // block, n_pieces)
 
-    def plane(x):
+    def plane(x, fill=0.0):
         x = jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n,))
-        return jnp.pad(x, (0, n_pad - n)).reshape(n_pad // LANES, LANES)
+        return jnp.pad(x, (0, n_pad - n), constant_values=fill).reshape(
+            n_pad // LANES, LANES
+        )
 
     planes = [
         plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2], fill=1.0),
         plane(t_min), plane(t_max),
     ]
 
     ray_spec = pl.BlockSpec(
-        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (BLOCK_ROWS, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
-    tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole table
+    smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # flat (1, k) windows: SMEM windows pad the minor dim to 128 lanes,
+    # so 2-D (1024, 12) would allocate 1024x128 floats (1MB) - flattened
+    # rows keep the window at its true 48KB
+    bw_spec = pl.BlockSpec(
+        (1, PIECE_TRIS * 12), lambda i, j: (0, j), memory_space=pltpu.SMEM
+    )
+    sl_spec = pl.BlockSpec(
+        (1, SL_PER_PIECE * 6), lambda i, j: (0, j), memory_space=pltpu.SMEM
+    )
     fshape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
     ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
 
-    kernel = functools.partial(
-        _kernel, n_chunks=n_chunks, n_tris=n_tris, block_rows=block_rows
-    )
+    kernel = functools.partial(_kernel, n_pieces=n_pieces)
     bt, bu, bv, bid = pl.pallas_call(
         kernel,
-        grid=(grid,),
-        in_specs=[tri_spec] + [ray_spec] * 8,
+        grid=grid,
+        in_specs=[smem_all, bw_spec, sl_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         out_shape=[fshape, fshape, fshape, ishape],
         interpret=interpret,
-    )(tri_chunks, *planes)
+    )(
+        big_box,
+        big_bw.reshape(1, n_pieces * PIECE_TRIS * 12),
+        big_sl.reshape(1, n_pieces * SL_PER_PIECE * 6),
+        *planes,
+    )
 
     best_t = bt.reshape(-1)[:n]
     best_u = bu.reshape(-1)[:n]
@@ -183,10 +233,41 @@ def tri_scan_big_pallas(
     return hit, jnp.where(hit, best_t, jnp.inf), jnp.maximum(best_id, 0), best_u, best_v
 
 
-def pack_tri_chunks(tri_table: np.ndarray) -> np.ndarray:
-    """(T, 9) [a, e1, e2] rows → (C, 8, 9) sublane-chunked layout."""
-    t = tri_table.shape[0]
-    c = (t + 7) // 8
-    padded = np.zeros((c * 8, 9), np.float32)
-    padded[:t] = tri_table
-    return padded.reshape(c, 8, 9).copy()
+def pack_big_tables(tri_bw: np.ndarray, tri_table: np.ndarray):
+    """Build the big-mesh kernel tables.
+
+    Args:
+      tri_bw: (T, 12) Baldwin–Weber rows.
+      tri_table: (T, 9) [a, e1, e2] rows (for AABB computation).
+
+    Returns (big_bw (P*PIECE_TRIS, 12), big_box (P, 6),
+             big_sl (P*SL_PER_PIECE, 6)) — float32, padding inert.
+    """
+    t = tri_bw.shape[0]
+    p = max(1, (t + PIECE_TRIS - 1) // PIECE_TRIS)
+    big_bw = np.zeros((p * PIECE_TRIS, 12), np.float32)
+    big_bw[:t] = tri_bw
+
+    def bounds(lo_tri, hi_tri):
+        rows = tri_table[lo_tri:hi_tri]
+        if rows.shape[0] == 0:
+            return np.array([1e30] * 3 + [-1e30] * 3, np.float32)
+        a = rows[:, 0:3]
+        b = a + rows[:, 3:6]
+        c = a + rows[:, 6:9]
+        pts = np.concatenate([a, b, c], axis=0)
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        pad = 1e-4 + 1e-4 * np.abs(np.stack([lo, hi])).max(axis=0)
+        return np.concatenate([lo - pad, hi + pad]).astype(np.float32)
+
+    big_box = np.stack(
+        [bounds(i * PIECE_TRIS, min((i + 1) * PIECE_TRIS, t)) for i in range(p)]
+    )
+    big_sl = np.stack(
+        [
+            bounds(g * SL, min((g + 1) * SL, t))
+            for g in range(p * SL_PER_PIECE)
+        ]
+    )
+    return big_bw, big_box, big_sl

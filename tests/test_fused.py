@@ -119,9 +119,10 @@ def test_big_mesh_kernel_matches_traverse():
     synthetic 1k-triangle mesh."""
     import numpy as np
 
+    from cs397raytracingsp22_tpu.models.scene import _baldwin_weber_rows
     from cs397raytracingsp22_tpu.ops import bvh as bvhlib
     from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import (
-        pack_tri_chunks,
+        pack_big_tables,
         tri_scan_big_pallas,
     )
 
@@ -131,7 +132,8 @@ def test_big_mesh_kernel_matches_traverse():
     table = np.concatenate(
         [tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]], axis=1
     ).astype(np.float32)
-    chunks = jnp.asarray(pack_tri_chunks(table))
+    bw = _baldwin_weber_rows(tris)
+    big_bw, big_box, big_sl = pack_big_tables(bw, table)
 
     o = rng.uniform(-8, 8, size=(300, 3)).astype(np.float32)
     targets = tris[rng.integers(0, len(tris), 300)].mean(axis=1)
@@ -141,7 +143,8 @@ def test_big_mesh_kernel_matches_traverse():
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(tris), 0.001, 100.0
     )
     hp, tp, ip, up, vp = tri_scan_big_pallas(
-        jnp.asarray(o), jnp.asarray(d), chunks, 1001, 0.001, 100.0
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(big_bw),
+        jnp.asarray(big_box), jnp.asarray(big_sl), 0.001, 100.0
     )
     np.testing.assert_array_equal(np.asarray(hb), np.asarray(hp))
     m = np.asarray(hb)
