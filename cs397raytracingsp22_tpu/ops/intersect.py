@@ -526,9 +526,13 @@ def intersect_scene_fused(
             tri_scan_big_pallas,
         )
 
+        # running best t as this mesh's far bound: hits already found by
+        # the fused kernel or earlier big meshes occlusion-cull whole
+        # pieces/superleafs inside the scan (t is a valid bound because
+        # the ray parameter is transform-invariant, geometry.rs:304)
         hit_m, t_m, tri_m, u_m, v_m = tri_scan_big_pallas(
             o_obj, d_obj, mesh.big_bw, mesh.big_box, mesh.big_sl,
-            t_min, t_max,
+            t_min, jnp.minimum(jnp.asarray(t_max, jnp.float32), t),
         )
         better = hit_m & (t_m < t)
         t = jnp.where(better, t_m, t)

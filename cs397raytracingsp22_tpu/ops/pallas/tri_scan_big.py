@@ -39,7 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 MT_EPSILON = 1e-4
 LANES = 128
-BLOCK_ROWS = 32  # 4096 rays per block (same tuning as the mega kernel)
+
+
+def _block_rows() -> int:
+    # Ray-block rows (RT_BIG_ROWS overrides). Smaller blocks cull finer
+    # (the piece/superleaf conds test any-of-block) but pay more grid/DMA
+    # overhead per piece step; measured on the 32k sphere: 32 rows ≈ 2.9
+    # incoherent / 8.9 sorted Mrays/s vs 2.0/4.9 at 8 rows — bigger wins.
+    import os
+
+    return int(os.environ.get("RT_BIG_ROWS", "32"))
 SL = 16  # superleaf run length (triangles)
 PIECE_TRIS = 1024  # triangles per SMEM piece (48KB of BW rows)
 SL_PER_PIECE = PIECE_TRIS // SL
@@ -178,7 +187,8 @@ def tri_scan_big_pallas(
     interpret = interpret or jax.default_backend() != "tpu"
     n = o.shape[0]
     n_pieces = big_box.shape[0]
-    block = BLOCK_ROWS * LANES
+    block_rows = _block_rows()
+    block = block_rows * LANES
     n_pad = (n + block - 1) // block * block
     grid = (n_pad // block, n_pieces)
 
@@ -195,7 +205,7 @@ def tri_scan_big_pallas(
     ]
 
     ray_spec = pl.BlockSpec(
-        (BLOCK_ROWS, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
     smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
     # flat (1, k) windows: SMEM windows pad the minor dim to 128 lanes,

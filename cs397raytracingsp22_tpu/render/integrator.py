@@ -54,6 +54,46 @@ def _bounce_draws(scene: SceneData, rng_key, uids: jnp.ndarray, site):
     return ball, u[:, 3], u[:, 4:]
 
 
+def _should_sort(scene: SceneData) -> bool:
+    """Bounce-to-bounce ray sorting pays only when a big (piece-scanned)
+    mesh is present: its kernel's piece/superleaf culling conds fire on
+    coherent ray blocks (ops/pallas/tri_scan_big.py), and sorted-dead
+    rays cluster into whole blocks every piece skips. RT_SORT=0/1
+    overrides for A/B."""
+    import os
+
+    env = os.environ.get("RT_SORT")
+    if env is not None:
+        return env == "1"
+    has_big = len(scene.dense_mesh_ids) < len(scene.meshes)
+    return has_big and jax.default_backend() == "tpu"
+
+
+def _coherence_key(o, d, alive):
+    """Sort key: dead rays last, then 5-bit/axis direction Morton, then
+    3-bit/axis position Morton over the batch's own bounding box. The
+    content-keyed RNG (uids travel with the rays) makes any permutation
+    produce bit-identical radiance."""
+    dn = d * jax.lax.rsqrt(vm.magnitude2(d) + 1e-30)[:, None]
+    qd = jnp.clip(((dn + 1.0) * 15.999).astype(jnp.int32), 0, 31)
+    lo = jnp.min(o, axis=0)
+    hi = jnp.max(o, axis=0)
+    qp = jnp.clip(
+        ((o - lo) / jnp.maximum(hi - lo, 1e-6) * 7.999).astype(jnp.int32), 0, 7
+    )
+    dmort = jnp.zeros(d.shape[:1], jnp.int32)
+    for i in range(5):
+        for a in range(3):
+            dmort = dmort | (((qd[:, a] >> i) & 1) << (3 * i + a))
+    pmort = jnp.zeros(o.shape[:1], jnp.int32)
+    for i in range(3):
+        for a in range(3):
+            pmort = pmort | (((qp[:, a] >> i) & 1) << (3 * i + a))
+    return (
+        (~alive).astype(jnp.int32) << 24 | dmort << 9 | pmort
+    )
+
+
 def path_trace(
     scene: SceneData,
     o: jnp.ndarray,
@@ -62,6 +102,7 @@ def path_trace(
     rng_key,
     path_depth: int,
     max_trace_dist: float,
+    sort_rays: bool | None = None,
 ):
     """Trace N ray chains to completion.
 
@@ -71,11 +112,15 @@ def path_trace(
       rng_key: int seed or (2,) uint32 key words.
       path_depth: bounce budget (static loop bound).
       max_trace_dist: scene far limit.
+      sort_rays: sort ray state by a coherence Morton key between bounces
+        (None → auto, see _should_sort). Bit-identical output either way.
 
     Returns:
       (radiance, segments): (N, 3) estimated radiance per chain and the
       total number of path segments actually traced (for Mrays/s metrics).
     """
+    if sort_rays is None:
+        sort_rays = _should_sort(scene)
     n = o.shape[0]
     init = (
         o,
@@ -83,17 +128,40 @@ def path_trace(
         jnp.ones((n, 3), jnp.float32),  # throughput
         jnp.zeros((n, 3), jnp.float32),  # radiance
         jnp.ones((n,), bool),  # alive
+        uids,
+        jnp.arange(n, dtype=jnp.int32),  # caller position (for unsort)
         # float accumulator: segment counts exceed int32 range on big
         # renders and x64 is disabled.
         jnp.zeros((), jnp.float32),
     )
 
     def bounce(depth, state):
-        o, d, thr, rad, alive, segs = state
+        o, d, thr, rad, alive, uids, pos, segs = state
+        if sort_rays:
+            key = _coherence_key(o, d, alive)
+            (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_,
+             rr_, rg_, rb_, uid_, pos_, al_) = jax.lax.sort(
+                [key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                 thr[:, 0], thr[:, 1], thr[:, 2],
+                 rad[:, 0], rad[:, 1], rad[:, 2],
+                 uids, pos, alive.astype(jnp.int32)],
+                num_keys=1,
+            )
+            o = jnp.stack([ox_, oy_, oz_], axis=-1)
+            d = jnp.stack([dx_, dy_, dz_], axis=-1)
+            thr = jnp.stack([tr_, tg_, tb_], axis=-1)
+            rad = jnp.stack([rr_, rg_, rb_], axis=-1)
+            uids = uid_
+            pos = pos_
+            alive = al_ > 0
         ball, u_choice, u_vol = _bounce_draws(
             scene, rng_key, uids, rnglib.SITE_BOUNCE0 + depth
         )
-        hit = intersect_scene(scene, o, d, PATH_T_MIN, max_trace_dist, u_vol)
+        # dead rays get an empty [t_min, 0] window: every primitive test
+        # rejects and — decisively — the big-mesh kernel's slab conds see
+        # an empty interval, so sorted-dead blocks skip all pieces.
+        t_max = jnp.where(alive, jnp.float32(max_trace_dist), 0.0)
+        hit = intersect_scene(scene, o, d, PATH_T_MIN, t_max, u_vol)
 
         live_hit = alive & hit.valid
         live_miss = alive & ~hit.valid
@@ -120,11 +188,19 @@ def path_trace(
         o = jnp.where(live_hit[:, None], hit.point, o)
         d = jnp.where(live_hit[:, None], new_dir, d)
         segs = segs + jnp.sum(alive.astype(jnp.float32))
-        return o, d, thr, rad, live_hit, segs
+        return o, d, thr, rad, live_hit, uids, pos, segs
 
-    _, _, _, radiance, _, segments = jax.lax.fori_loop(
+    _, _, _, radiance, _, _, out_pos, segments = jax.lax.fori_loop(
         0, path_depth, bounce, init
     )
+    if sort_rays:
+        # restore caller order: one final sort by the carried position
+        # index undoes every per-bounce permutation
+        _, rr, rg, rb = jax.lax.sort(
+            [out_pos, radiance[:, 0], radiance[:, 1], radiance[:, 2]],
+            num_keys=1,
+        )
+        radiance = jnp.stack([rr, rg, rb], axis=-1)
     return radiance, segments
 
 
