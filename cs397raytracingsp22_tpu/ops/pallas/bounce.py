@@ -344,10 +344,10 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                        + mesh_bw[i, 2] * mdz)
                 no_ = (mesh_bw[i, 0] * mox + mesh_bw[i, 1] * moy
                        + mesh_bw[i, 2] * moz)
-                # den_ok folds into t: epsilon-reject ⇒ t = 0 < t_min ⇒
+                # den_ok folds into t: epsilon-reject ⇒ t = -1 < t_min ⇒
                 # the range test rejects — no separate AND needed
                 t = jnp.where(
-                    jnp.abs(den) >= MT_EPSILON, (mesh_bw[i, 3] - no_) / den, 0.0
+                    jnp.abs(den) >= MT_EPSILON, (mesh_bw[i, 3] - no_) / den, -1.0
                 )
                 px = mox + t * mdx
                 py = moy + t * mdy

@@ -80,9 +80,11 @@ def _make_kernel(counts):
     n_vol = counts["n_vol"]
     mesh_ranges = counts["mesh_ranges"]
 
+    sl_ranges = counts["sl_ranges"]
+
     def kernel(
-        sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m, mesh_xf, mesh_tri,
-        ox, oy, oz, dx, dy, dz, tmn, tmx, *rest,
+        sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m, mesh_xf, mesh_bw,
+        sl_bounds, ox, oy, oz, dx, dy, dz, tmn, tmx, *rest,
     ):
         uvols = rest[: n_vol]
         (o_t, o_code, o_idx, o_mat, o_u, o_v, o_nx, o_ny, o_nz, o_ff) = rest[n_vol:]
@@ -245,7 +247,18 @@ def _make_kernel(counts):
                 zero, zero, zero, zero, zero, izero,
             )
 
-        # ---- dense meshes: object-space triangle scans ----
+        # ---- dense meshes: object-space Baldwin–Weber group scans ----
+        # Same structure as the mega kernel's mesh section (bounce.py):
+        # BW rows off SMEM scalars, 16-triangle groups fully unrolled
+        # (kmesh ranges are 16-padded with inert zero rows), winner
+        # carries only (t, code, idx, u, v) — normals/material resolve
+        # happens in intersect_scene_fused. Superleaf slab culling for
+        # larger meshes (the sorted wavefront keeps blocks coherent).
+        from cs397raytracingsp22_tpu.ops.pallas.bounce import (
+            SL_MIN_TRIS_DEEP,
+            _superleaf_mode,
+        )
+
         for mi, (start, count) in enumerate(mesh_ranges):
             # inverse transform (scalars): o' = R*o + tr, d' = R*d
             r00 = mesh_xf[mi, 0]
@@ -269,19 +282,78 @@ def _make_kernel(counts):
 
             def mesh_body(i, carry, mox=mox, moy=moy, moz=moz,
                           mdx=mdx, mdy=mdy, mdz=mdz, start=start, mi=mi):
-                ok, t, u, v = _mt_test(
-                    mox, moy, moz, mdx, mdy, mdz,
-                    mesh_tri[i, 0], mesh_tri[i, 1], mesh_tri[i, 2],
-                    mesh_tri[i, 3], mesh_tri[i, 4], mesh_tri[i, 5],
-                    mesh_tri[i, 6], mesh_tri[i, 7], mesh_tri[i, 8],
-                    t_min, carry[0],
+                best_t, code, idx, mat, uu, vv, nx, ny, nz, ff = carry
+                den = (mesh_bw[i, 0] * mdx + mesh_bw[i, 1] * mdy
+                       + mesh_bw[i, 2] * mdz)
+                no_ = (mesh_bw[i, 0] * mox + mesh_bw[i, 1] * moy
+                       + mesh_bw[i, 2] * moz)
+                t = jnp.where(
+                    jnp.abs(den) >= MT_EPSILON,
+                    # sentinel -1: rejected by t >= t_min even at t_min 0
+                    (mesh_bw[i, 3] - no_) / den, -1.0,
                 )
-                return upd(
-                    carry, ok, t, CODE_MESH0 + mi, i - start, -1,
-                    u, v, zero, zero, zero, izero,
+                px = mox + t * mdx
+                py = moy + t * mdy
+                pz = moz + t * mdz
+                u = (mesh_bw[i, 4] * px + mesh_bw[i, 5] * py
+                     + mesh_bw[i, 6] * pz + mesh_bw[i, 7])
+                v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
+                     + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
+                bmin = jnp.minimum(jnp.minimum(u, v), (1.0 - u) - v)
+                ok = (bmin >= 0.0) & (t >= t_min) & (t < best_t)
+                return (
+                    jnp.where(ok, t, best_t),
+                    jnp.where(ok, CODE_MESH0 + mi, code),
+                    jnp.where(ok, i - start, idx),
+                    mat,
+                    jnp.where(ok, u, uu),
+                    jnp.where(ok, v, vv),
+                    nx, ny, nz, ff,
                 )
 
-            carry = jax.lax.fori_loop(start, start + count, mesh_body, carry)
+            def group_body(s, carry, mesh_body=mesh_body, start=start):
+                lo_i = start + s * 16
+                for k in range(16):
+                    carry = mesh_body(lo_i + k, carry)
+                return carry
+
+            sl_first, sl_count = sl_ranges[mi]
+            mode = _superleaf_mode()
+            cull = (mode == "2") or (
+                mode == "1" and count >= SL_MIN_TRIS_DEEP
+            )
+            if not cull:
+                carry = jax.lax.fori_loop(0, count // 16, group_body, carry)
+                continue
+
+            inv_mdx = 1.0 / mdx
+            inv_mdy = 1.0 / mdy
+            inv_mdz = 1.0 / mdz
+
+            def sl_body(s, carry, mox=mox, moy=moy, moz=moz,
+                        inv_mdx=inv_mdx, inv_mdy=inv_mdy, inv_mdz=inv_mdz,
+                        group_body=group_body, sl_first=sl_first):
+                row = sl_first + s
+                t0x = (sl_bounds[row, 0] - mox) * inv_mdx
+                t1x = (sl_bounds[row, 3] - mox) * inv_mdx
+                t0y = (sl_bounds[row, 1] - moy) * inv_mdy
+                t1y = (sl_bounds[row, 4] - moy) * inv_mdy
+                t0z = (sl_bounds[row, 2] - moz) * inv_mdz
+                t1z = (sl_bounds[row, 5] - moz) * inv_mdz
+                tlo = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+                )
+                thi = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), carry[0]),
+                )
+                any_hit = jnp.sum((thi > tlo).astype(jnp.float32)) > 0.0
+                return jax.lax.cond(
+                    any_hit, lambda c, s=s: group_body(s, c), lambda c: c, carry
+                )
+
+            carry = jax.lax.fori_loop(0, sl_count, sl_body, carry)
 
         best_t, code, idx, mat, uu, vv, nx, ny, nz, ff = carry
         o_t[:] = best_t
@@ -325,6 +397,7 @@ def scene_intersect_pallas(
         n_tri=scene.n_tris,
         n_vol=scene.n_volumes,
         mesh_ranges=scene.kmesh_ranges,
+        sl_ranges=scene.ksl_ranges,
     )
     n = o.shape[0]
     block = block_rows * LANES
@@ -354,7 +427,7 @@ def scene_intersect_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[smem] * 10 + [ray_spec] * (8 + len(uvol_planes)),
+        in_specs=[smem] * 11 + [ray_spec] * (8 + len(uvol_planes)),
         out_specs=[ray_spec] * 10,
         out_shape=[fshape, ishape, ishape, ishape] + [fshape] * 5 + [ishape],
         interpret=interpret,
@@ -363,7 +436,7 @@ def scene_intersect_pallas(
         scene.kpln_f, scene.kpln_m,
         scene.ktri_f, scene.ktri_m,
         scene.kvol_f, scene.kvol_m,
-        scene.kmesh_xf, scene.kmesh_tri,
+        scene.kmesh_xf, scene.kmesh_bw, scene.ksl_bounds,
         *ray_planes, *uvol_planes,
     )
     t, code, idx, mat_id, u, v, nx, ny, nz, ff = [

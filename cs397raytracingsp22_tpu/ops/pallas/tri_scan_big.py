@@ -108,7 +108,8 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
         no_ = (piece_bw[0, b + 0] * o_x + piece_bw[0, b + 1] * o_y
                + piece_bw[0, b + 2] * o_z)
         t = jnp.where(
-            jnp.abs(den) >= MT_EPSILON, (piece_bw[0, b + 3] - no_) / den, 0.0
+            # sentinel -1: rejected by t >= t_min even when t_min == 0
+            jnp.abs(den) >= MT_EPSILON, (piece_bw[0, b + 3] - no_) / den, -1.0
         )
         px = o_x + t * d_x
         py = o_y + t * d_y
