@@ -128,6 +128,15 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
             jnp.where(ok, gid, best_id),
         )
 
+    import os
+
+    # Defaults measured on the 32k sphere: unroll+cond is ~5% faster
+    # sorted (8.9 vs 8.5 Mrays/s) but the cond×unroll product inflates
+    # Mosaic compile from ~1min to ~3.5min per shape; fori+cond is the
+    # pragmatic default. RT_BIG_UNROLL=1 / RT_BIG_COND=0 override.
+    unroll = os.environ.get("RT_BIG_UNROLL", "0") == "1"
+    use_cond = os.environ.get("RT_BIG_COND", "1") == "1"
+
     def sl_body(s, carry):
         sb = s * 6
         hit = slab_any(
@@ -137,10 +146,14 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
         )
 
         def run(carry, s=s):
-            for k in range(SL):
-                carry = tri_test(s * SL + k, carry)
-            return carry
+            if unroll:
+                for k in range(SL):
+                    carry = tri_test(s * SL + k, carry)
+                return carry
+            return jax.lax.fori_loop(s * SL, (s + 1) * SL, tri_test, carry)
 
+        if not use_cond:
+            return run(carry)
         return jax.lax.cond(hit, run, lambda c: c, carry)
 
     def scan_piece(carry):
