@@ -164,8 +164,10 @@ def _make_kernel(counts):
                 front.astype(jnp.int32),
             )
 
-        if n_sph:
-            carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
+        # static unroll (bounce.py lesson: fori bodies stall on SMEM
+        # loads; Python-int indices fold to static offsets)
+        for s in range(n_sph):
+            carry = sph_body(s, carry)
 
         # ---- planes (geometry.rs:474-487) ----
         def pln_body(p, carry):
@@ -188,8 +190,8 @@ def _make_kernel(counts):
                 zero, zero, wnx, wny, wnz, jnp.ones(shape, jnp.int32),
             )
 
-        if n_pln:
-            carry = jax.lax.fori_loop(0, n_pln, pln_body, carry)
+        for p in range(n_pln):
+            carry = pln_body(p, carry)
 
         # ---- standalone triangles (geometry.rs:431-449) ----
         def tri_body(i, carry):
@@ -211,8 +213,8 @@ def _make_kernel(counts):
                 front.astype(jnp.int32),
             )
 
-        if n_tri:
-            carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+        for i in range(n_tri):
+            carry = tri_body(i, carry)
 
         # ---- convex volumes (geometry.rs:502-525) ----
         # unrolled: each volume reads its own uniform plane
