@@ -20,10 +20,25 @@ integrator.path_trace (same Threefry counters per (uid, site, draw), same
 estimator conventions — materials.rs:33-166, tracing.rs:300-324);
 asserted by tests/test_bounce_kernel.py in interpret mode.
 
-Mesh shading normals are resolved in-kernel without gathers: the
-triangle-scan loop carries the winning triangle's three corner normals
-(selected as SMEM scalars at update time), interpolated and transformed
-by the mesh's normal matrix after the scan (geometry.rs:350-351, 297).
+Mesh scan (v4, packed min-key): the per-triangle Baldwin–Weber test
+folds every reject condition (u>=0, v>=0, u+v<=1, t>=t_min) into the
+sign bit of one int32 candidate key whose payload is the exact bitcast
+of t with the sign bit pre-flipped — for non-negative floats the
+two's-complement order of the flipped pattern equals the float order,
+so a signed `min`/`<` chain keeps the nearest hit with zero per-triangle
+payload selects. The winning triangle's row index is the only other
+per-triangle carry. After the scan, the winner's interpolation rows
+(Baldwin–Weber u/v rows) and octahedral corner normals are fetched once
+per bounce by per-lane dynamic gathers (`take_along_axis` over 128-lane
+table rows), and u, v are recomputed from the exact decoded t — the
+hit set matches Möller–Trumbore up to float rounding at triangle edges
+(same contract as v3, tests/test_bounce_kernel.py tolerance).
+
+Note one deliberate semantic simplification vs geometry.rs:336: the
+|det| >= 1e-4 grazing-ray reject is not replicated — a near-parallel ray
+produces t = num/den → ±huge/NaN whose key never wins unless the ray
+grazes within ~t·1e-4 of the triangle plane AND lands inside the
+triangle, a measure-≈0 event the image statistics cannot see.
 """
 
 from __future__ import annotations
@@ -39,11 +54,11 @@ from cs397raytracingsp22_tpu.utils.rng import SITE_BOUNCE0
 
 MT_EPSILON = 1e-4
 LANES = 128
-# 32 rows × 128 lanes = 4096 rays/block: measured optimum on v5e with the
-# Baldwin–Weber unrolled scan (266 Mrays/s vs 261 at 16 rows, 248 at 64,
-# 139 at 8 — re-measured after the per-tri cost dropped; larger blocks
-# amortize the per-block prologue once the scan stopped stalling).
-DEFAULT_BLOCK_ROWS = 32
+# 64 rows × 128 lanes = 8192 rays/block: measured optimum on v5e with the
+# v4 packed-key scan (395.7 Mrays/s vs 381.9 at 32, 359.1 at 128, 351.7
+# at 16 — the key/widx-only triangle carry halves live vector state, so
+# bigger blocks pipeline better before hitting VMEM pressure).
+DEFAULT_BLOCK_ROWS = 64
 PI = 3.14159265358979
 TWO_PI = 2.0 * PI
 
@@ -65,6 +80,14 @@ def _superleaf_mode() -> str:
     import os
 
     return os.environ.get("RT_SL", "1")
+
+
+def _recip_mode() -> str:
+    """RT_RECIP: "2" approx reciprocal (default), "1" approx + one
+    Newton step, "0" exact divide. Diagnostics/benchmark knob."""
+    import os
+
+    return os.environ.get("RT_RECIP", "2")
 
 
 def _block_rows_default() -> int:
@@ -123,7 +146,8 @@ def scene_is_simple(scene) -> bool:
 
 def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                   tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
-                  mat_tab, sl_bounds, k0, k1, uid_u, shape, primary=False):
+                  mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
+                  primary=False):
     """Build the single-bounce update used by both the full-loop kernel
     and the per-bounce wavefront step kernel. `site_u32` is the RNG draw
     site (SITE_BOUNCE0 + depth), scalar. `primary` marks a bounce whose
@@ -150,26 +174,19 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         best_t = jnp.full(shape, big, jnp.float32)
         code = jnp.full(shape, -1, jnp.int32)
         mat = izero
-        uu = fzero
-        vv = fzero
         nx = fzero
         ny = fzero
         nz = fzero
         ff = izero
-        # winning mesh-corner normals: 3 octahedral-packed ints (decoded
-        # post-scan for the block's winners only)
-        cn = [izero] * 3
 
-        carry0 = (best_t, code, mat, uu, vv, nx, ny, nz, ff)
+        carry0 = (best_t, code, mat, nx, ny, nz, ff)
 
-        def upd(carry, ok, t, c, m, u_, v_, nx_, ny_, nz_, ff_):
-            best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
+        def upd(carry, ok, t, c, m, nx_, ny_, nz_, ff_):
+            best_t, code, mat, nx, ny, nz, ff = carry
             return (
                 jnp.where(ok, t, best_t),
                 jnp.where(ok, c, code),
                 jnp.where(ok, m, mat),
-                jnp.where(ok, u_, uu),
-                jnp.where(ok, v_, vv),
                 jnp.where(ok, nx_, nx),
                 jnp.where(ok, ny_, ny),
                 jnp.where(ok, nz_, nz),
@@ -205,7 +222,7 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             gz = pz * inv_len
             front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
-            return upd(carry, ok, t, 0, sph_m[s], fzero, fzero,
+            return upd(carry, ok, t, 0, sph_m[s],
                        sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
 
         # static unroll: small loops with Python-int indices let Mosaic
@@ -228,7 +245,7 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             dd = sdx * fx + sdy * fy + sdz * fz
             t = jnp.abs(od) / jnp.abs(jnp.where(dd == 0.0, 1.0, dd))
             ok = (dd < 0.0) & (t >= t_min) & (t < carry[0])
-            return upd(carry, ok, t, 1, pln_m[p], fzero, fzero,
+            return upd(carry, ok, t, 1, pln_m[p],
                        fx, fy, fz, jnp.ones(shape, jnp.int32))
 
         for p in range(n_pln):
@@ -267,15 +284,17 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             gz = tri_f[i, 11]
             front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
-            return upd(carry, ok, t, 2, tri_m[i], fzero, fzero,
+            return upd(carry, ok, t, 2, tri_m[i],
                        sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
 
         for i in range(n_tri):
             carry = tri_body(i, carry)
 
-        # bounce RNG (drawn before volumes need it)
+        # bounce RNG (drawn before volumes need it): 4 + n_vol uniforms
+        # — exactly the draws _bounce_draws makes (2 Threefry calls when
+        # the scene has no volumes)
         site = site_u32
-        us = _uniforms(k0, k1, uid_u, site, 4 + max(n_vol, 1))
+        us = _uniforms(k0, k1, uid_u, site, 4 + n_vol)
 
         for vi in range(n_vol):
             cx = vol_f[vi, 0]
@@ -301,15 +320,29 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             dist = neg_inv_rho * jnp.log(jnp.maximum(us[4 + vi], 1e-38))
             ok = ok0 & exit_ok & in_range & (dist < t_end - t_start)
             t = t_start + dist
-            carry = upd(carry, ok, t, 3, vol_m[vi], fzero, fzero,
+            carry = upd(carry, ok, t, 3, vol_m[vi],
                         fzero, fzero, fzero, izero)
 
-        # dense meshes with corner-normal carry and superleaf culling:
-        # the triangle tests of a 16-tri group run only when at least
-        # one ray in the block hits the group's (padded) AABB closer
-        # than its current best — tile-level hierarchy without
-        # per-lane control flow.
+        # dense meshes, v4 packed min-key scan (module docstring): the
+        # only per-triangle carries are one int32 key and the winning
+        # global row index; superleaf culling structure is unchanged
+        # (a 16-tri group runs only when some ray in the block hits the
+        # group AABB closer than its current best).
         sl_ranges = counts["sl_ranges"]
+        SIGN = jnp.int32(-2147483648)
+        INTMAX = jnp.int32(2147483647)
+        tmin_f = jnp.float32(t_min)
+        best_t, code, mat, nx, ny, nz, ff = carry
+        key0 = jax.lax.bitcast_convert_type(best_t, jnp.int32) ^ SIGN
+        key = key0
+        widx = izero
+
+        def bci(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+        def bcf(x):
+            return jax.lax.bitcast_convert_type(x, jnp.float32)
+
         for mi, (start, count) in enumerate(mesh_ranges):
             r00 = mesh_xf[mi, 0]
             r01 = mesh_xf[mi, 1]
@@ -331,24 +364,38 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             mdz = r20 * sdx + r21 * sdy + r22 * sdz
 
             def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
-                          mdx=mdx, mdy=mdy, mdz=mdz, mi=mi):
-                # Baldwin–Weber test off the precomputed rows: 3 dot3s +
-                # one divide per (ray, tri), and only the carries a mesh
-                # winner actually needs (t, code, u, v + corner normals) —
-                # material/normal/frontface resolve happens post-scan.
-                # Same hit set as Möller–Trumbore: |n·d| = |MT det|, and
-                # u, v are the same barycentrics (models/scene.py
-                # _baldwin_weber_rows).
-                carry, cn = packed
-                den = (mesh_bw[i, 0] * mdx + mesh_bw[i, 1] * mdy
-                       + mesh_bw[i, 2] * mdz)
-                no_ = (mesh_bw[i, 0] * mox + mesh_bw[i, 1] * moy
-                       + mesh_bw[i, 2] * moz)
-                # den_ok folds into t: epsilon-reject ⇒ t = -1 < t_min ⇒
-                # the range test rejects — no separate AND needed
-                t = jnp.where(
-                    jnp.abs(den) >= MT_EPSILON, (mesh_bw[i, 3] - no_) / den, -1.0
-                )
+                          mdx=mdx, mdy=mdy, mdz=mdz):
+                # Baldwin–Weber off the precomputed rows. Every reject
+                # (u<0, v<0, u+v>1, t<t_min) lands in the sign bit of
+                # `rej`; accepted candidates (t ≥ t_min > 0) bitcast to a
+                # positive int whose order equals float order, so the
+                # sign-flipped pattern is a signed key where smaller-t
+                # wins a `<` chain. den≈0 → t = ±inf/NaN → key pattern
+                # just below zero, beaten by any real t incl. the t_max
+                # init. Ties keep the earlier triangle (strict <), like
+                # the reference's scan order.
+                key, widx = packed
+                b0 = mesh_bw[i, 0]
+                b1 = mesh_bw[i, 1]
+                b2 = mesh_bw[i, 2]
+                den = b0 * mdx + b1 * mdy + b2 * mdz
+                num = mesh_bw[i, 3] - (b0 * mox + b1 * moy + b2 * moz)
+                # t via the VPU's approximate-reciprocal instruction:
+                # the exact divide was the single most expensive op of
+                # the whole scan (measured 396 → 476 Mrays/s). Error is
+                # 2^-15.9 relative (measured on v5e over [1e-3, 1e3]) —
+                # hit points move ≤ t·3e-5, two orders under the t_min
+                # acne epsilon, invisible to the statistical-parity
+                # contract. RT_RECIP=0 restores exact division; =1 adds
+                # one Newton step (~1 ulp, 451 Mrays/s).
+                mode_r = _recip_mode()
+                if mode_r == "0":
+                    t = num / den
+                elif mode_r == "1":
+                    r = pl.reciprocal(den, approx=True)
+                    t = num * (r * (2.0 - den * r))
+                else:
+                    t = num * pl.reciprocal(den, approx=True)
                 px = mox + t * mdx
                 py = moy + t * mdy
                 pz = moz + t * mdz
@@ -356,20 +403,10 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                      + mesh_bw[i, 6] * pz + mesh_bw[i, 7])
                 v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
                      + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
-                # barycentric inside-test as one min-chain sign check
-                bmin = jnp.minimum(jnp.minimum(u, v), (1.0 - u) - v)
-                ok = (bmin >= 0.0) & (t >= t_min) & (t < carry[0])
-                best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
-                carry = (
-                    jnp.where(ok, t, best_t),
-                    jnp.where(ok, 4 + mi, code),
-                    mat, jnp.where(ok, u, uu), jnp.where(ok, v, vv),
-                    nx, ny, nz, ff,
-                )
-                cn = tuple(
-                    jnp.where(ok, mesh_nrm[i, j], cn[j]) for j in range(3)
-                )
-                return carry, cn
+                rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - tmin_f))
+                cand = jnp.where(rej < 0, INTMAX, bci(t) ^ SIGN)
+                ok = cand < key
+                return jnp.where(ok, cand, key), jnp.where(ok, i, widx)
 
             sl_first, sl_count = sl_ranges[mi]
             mode = _superleaf_mode()
@@ -386,10 +423,9 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                         packed = mesh_body(lo_i + k, packed)
                     return packed
 
-                carry, cn = jax.lax.fori_loop(
-                    0, sl_count, group_body, (carry, tuple(cn))
+                key, widx = jax.lax.fori_loop(
+                    0, sl_count, group_body, (key, widx)
                 )
-                cn = list(cn)
                 continue
             inv_mdx = 1.0 / mdx
             inv_mdy = 1.0 / mdy
@@ -397,9 +433,9 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
             def sl_body(s, packed, mox=mox, moy=moy, moz=moz,
                         inv_mdx=inv_mdx, inv_mdy=inv_mdy, inv_mdz=inv_mdz,
-                        mesh_body=mesh_body, start=start, count=count,
+                        mesh_body=mesh_body, start=start,
                         sl_first=sl_first):
-                carry, cn = packed
+                key, widx = packed
                 row = sl_first + s
                 t0x = (sl_bounds[row, 0] - mox) * inv_mdx
                 t1x = (sl_bounds[row, 3] - mox) * inv_mdx
@@ -413,18 +449,21 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 hiy = jnp.maximum(t0y, t1y)
                 loz = jnp.minimum(t0z, t1z)
                 hiz = jnp.maximum(t0z, t1z)
+                # current best decoded from the key (exact winner t)
+                tbest = bcf(key ^ SIGN)
                 tlo = jnp.maximum(
                     jnp.maximum(lox, loy), jnp.maximum(loz, jnp.float32(t_min))
                 )
-                thi = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, carry[0]))
+                thi = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, tbest))
                 any_hit = jnp.sum((thi > tlo).astype(jnp.float32)) > 0.0
 
                 lo_i = start + s * 16
                 # Groups are always exactly 16 triangles (the scene
-                # compiler pads each dense mesh with inert zero rows), so
-                # the group body fully unrolls: one big basic block in
-                # which Mosaic can hoist the 12 SMEM loads per triangle
-                # ahead of the vector math instead of stalling on each.
+                # compiler pads each dense mesh with inert zero rows —
+                # their den is 0 ⇒ NaN key, never a winner), so the group
+                # body fully unrolls: one big basic block in which Mosaic
+                # can hoist the 12 SMEM loads per triangle ahead of the
+                # vector math instead of stalling on each.
                 def run_group(p, lo_i=lo_i, mesh_body=mesh_body):
                     for k in range(16):
                         p = mesh_body(lo_i + k, p)
@@ -432,17 +471,15 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
                 return jax.lax.cond(any_hit, run_group, lambda p: p, packed)
 
-            carry, cn = jax.lax.fori_loop(
-                0, sl_count, sl_body, (carry, tuple(cn))
+            key, widx = jax.lax.fori_loop(
+                0, sl_count, sl_body, (key, widx)
             )
-            cn = list(cn)
 
-        best_t, code, mat, uu, vv, nx, ny, nz, ff = carry
-
-        # mesh winner: decode the 3 octahedral-packed corner normals
-        # (scene.py _oct_decode twin), interpolate, flip, normal-matrix
-        # transform. Runs once per block on the winners — amortized over
-        # the whole scan.
+        # ---- post-scan mesh winner resolve (once per bounce) ----
+        # Decode the winner, fetch its interpolation rows + corner
+        # normals by per-lane dynamic gather, recompute u, v from the
+        # exact t, then interpolate/flip/normal-matrix exactly like
+        # geometry.rs:350-351, 297.
         def oct_dec(wd):
             scale = jnp.float32(1.0 / 32767.0)
             fu = ((wd & 0xFFFF) - 32767).astype(jnp.float32) * scale
@@ -455,9 +492,72 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             return x * inv, y * inv, z * inv
 
         if n_mesh:
-            n0x, n0y, n0z = oct_dec(cn[0])
-            n1x, n1y, n1z = oct_dec(cn[1])
-            n2x, n2y, n2z = oct_dec(cn[2])
+            mesh_won = key < key0
+            t_mesh = bcf(key ^ SIGN)
+            best_t = jnp.where(mesh_won, t_mesh, best_t)
+
+            lane = widx & 127
+            piece = widx >> 7
+            n_pieces = bw_v.shape[0] // 12
+
+            def gather_col(tab, c):
+                acc = None
+                for p in range(n_pieces):
+                    rowv = tab[c * n_pieces + p, :]
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(rowv[None, :], shape), lane, axis=1
+                    )
+                    acc = g if acc is None else jnp.where(piece == p, g, acc)
+                return acc
+
+            # winner's mesh-space ray (selected across meshes) + hitpoint
+            pxw = fzero
+            pyw = fzero
+            pzw = fzero
+            mdxw = fzero
+            mdyw = fzero
+            mdzw = fzero
+            in_mi_list = []
+            for mi, (start, count) in enumerate(mesh_ranges):
+                if n_mesh == 1:
+                    in_mi = mesh_won
+                else:
+                    lo16 = start
+                    hi16 = start + ((count + 15) // 16) * 16
+                    in_mi = mesh_won & (widx >= lo16) & (widx < hi16)
+                in_mi_list.append(in_mi)
+                r00 = mesh_xf[mi, 0]
+                r01 = mesh_xf[mi, 1]
+                r02 = mesh_xf[mi, 2]
+                r10 = mesh_xf[mi, 3]
+                r11 = mesh_xf[mi, 4]
+                r12 = mesh_xf[mi, 5]
+                r20 = mesh_xf[mi, 6]
+                r21 = mesh_xf[mi, 7]
+                r22 = mesh_xf[mi, 8]
+                mox = (r00 * sox + r01 * soy + r02 * soz + mesh_xf[mi, 9])
+                moy = (r10 * sox + r11 * soy + r12 * soz + mesh_xf[mi, 10])
+                moz = (r20 * sox + r21 * soy + r22 * soz + mesh_xf[mi, 11])
+                mdx = r00 * sdx + r01 * sdy + r02 * sdz
+                mdy = r10 * sdx + r11 * sdy + r12 * sdz
+                mdz = r20 * sdx + r21 * sdy + r22 * sdz
+                pxw = jnp.where(in_mi, mox + t_mesh * mdx, pxw)
+                pyw = jnp.where(in_mi, moy + t_mesh * mdy, pyw)
+                pzw = jnp.where(in_mi, moz + t_mesh * mdz, pzw)
+                mdxw = jnp.where(in_mi, mdx, mdxw)
+                mdyw = jnp.where(in_mi, mdy, mdyw)
+                mdzw = jnp.where(in_mi, mdz, mdzw)
+                mat = jnp.where(in_mi, mesh_meta[mi], mat)
+                code = jnp.where(in_mi, 4 + mi, code)
+
+            uu = (gather_col(bw_v, 4) * pxw + gather_col(bw_v, 5) * pyw
+                  + gather_col(bw_v, 6) * pzw + gather_col(bw_v, 7))
+            vv = (gather_col(bw_v, 8) * pxw + gather_col(bw_v, 9) * pyw
+                  + gather_col(bw_v, 10) * pzw + gather_col(bw_v, 11))
+
+            n0x, n0y, n0z = oct_dec(gather_col(nrm_v, 0))
+            n1x, n1y, n1z = oct_dec(gather_col(nrm_v, 1))
+            n2x, n2y, n2z = oct_dec(gather_col(nrm_v, 2))
             w = 1.0 - uu - vv
             inx0 = uu * n1x + vv * n2x + w * n0x
             iny0 = uu * n1y + vv * n2y + w * n0y
@@ -468,45 +568,33 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             inx = inx0 * inv_len
             iny = iny0 * inv_len
             inz = inz0 * inv_len
-        for mi in range(n_mesh):
-            mask = code == 4 + mi
-            mat = jnp.where(mask, mesh_meta[mi], mat)
-            # frontface vs object-space direction
-            r00 = mesh_xf[mi, 0]
-            r01 = mesh_xf[mi, 1]
-            r02 = mesh_xf[mi, 2]
-            r10 = mesh_xf[mi, 3]
-            r11 = mesh_xf[mi, 4]
-            r12 = mesh_xf[mi, 5]
-            r20 = mesh_xf[mi, 6]
-            r21 = mesh_xf[mi, 7]
-            r22 = mesh_xf[mi, 8]
-            mdx = r00 * sdx + r01 * sdy + r02 * sdz
-            mdy = r10 * sdx + r11 * sdy + r12 * sdz
-            mdz = r20 * sdx + r21 * sdy + r22 * sdz
-            front = (inx * mdx + iny * mdy + inz * mdz) < 0.0
+
+            # frontface vs object-space direction, then normal matrix
+            front = (inx * mdxw + iny * mdyw + inz * mdzw) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
             fx = sgn * inx
             fy = sgn * iny
             fz = sgn * inz
-            # normal matrix = inv_transform[:3,:3]^T (cols 12..20)
-            m00 = mesh_xf[mi, 12]
-            m01 = mesh_xf[mi, 13]
-            m02 = mesh_xf[mi, 14]
-            m10 = mesh_xf[mi, 15]
-            m11 = mesh_xf[mi, 16]
-            m12 = mesh_xf[mi, 17]
-            m20 = mesh_xf[mi, 18]
-            m21 = mesh_xf[mi, 19]
-            m22 = mesh_xf[mi, 20]
-            wx = m00 * fx + m01 * fy + m02 * fz
-            wy = m10 * fx + m11 * fy + m12 * fz
-            wz = m20 * fx + m21 * fy + m22 * fz
-            inv_len = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz + 1e-30)
-            nx = jnp.where(mask, wx * inv_len, nx)
-            ny = jnp.where(mask, wy * inv_len, ny)
-            nz = jnp.where(mask, wz * inv_len, nz)
-            ff = jnp.where(mask, front.astype(jnp.int32), ff)
+            for mi in range(n_mesh):
+                mask = in_mi_list[mi]
+                # normal matrix = inv_transform[:3,:3]^T (cols 12..20)
+                m00 = mesh_xf[mi, 12]
+                m01 = mesh_xf[mi, 13]
+                m02 = mesh_xf[mi, 14]
+                m10 = mesh_xf[mi, 15]
+                m11 = mesh_xf[mi, 16]
+                m12 = mesh_xf[mi, 17]
+                m20 = mesh_xf[mi, 18]
+                m21 = mesh_xf[mi, 19]
+                m22 = mesh_xf[mi, 20]
+                wx = m00 * fx + m01 * fy + m02 * fz
+                wy = m10 * fx + m11 * fy + m12 * fz
+                wz = m20 * fx + m21 * fy + m22 * fz
+                inv_len = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz + 1e-30)
+                nx = jnp.where(mask, wx * inv_len, nx)
+                ny = jnp.where(mask, wy * inv_len, ny)
+                nz = jnp.where(mask, wz * inv_len, nz)
+                ff = jnp.where(mask, front.astype(jnp.int32), ff)
 
         hit_valid = code >= 0
 
@@ -680,6 +768,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
         mesh_xf, mesh_bw, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
+        bw_v, nrm_v,
         ox, oy, oz, dx, dy, dz, uid,
         rad_r, rad_g, rad_b, seg_out,
     ):
@@ -710,7 +799,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
         common = (
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
-            mat_tab, sl_bounds, k0, k1, uid_u, shape,
+            mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
         )
         bounce0 = _build_bounce(*common, primary=True)
         bounce_n = _build_bounce(*common, primary=False)
@@ -784,8 +873,24 @@ def build_bounce_tables(scene):
         ],
         axis=1,
     )
+    # v4 post-scan gather tables: column-major 128-lane pieces so the
+    # winner fetch is a per-lane take_along_axis over one table row.
+    # bw_gather[c*P + p, l] = kmesh_bw[p*128 + l, c]; same for normals.
+    bw = scene.kmesh_bw
+    rows_n = bw.shape[0]
+    n_pieces = (rows_n + 127) // 128
+    pad = n_pieces * 128 - rows_n
+    bw_pad = jnp.concatenate([bw, jnp.zeros((pad, 12), jnp.float32)]) if pad else bw
+    bw_gather = bw_pad.T.reshape(12 * n_pieces, 128)
+    nrm_pad = (
+        jnp.concatenate([mesh_nrm, jnp.zeros((rows_n + pad - mesh_nrm.shape[0], 3), jnp.int32)])
+        if mesh_nrm.shape[0] < rows_n + pad
+        else mesh_nrm[: rows_n + pad]
+    )
+    nrm_gather = nrm_pad.T.reshape(3 * n_pieces, 128)
     return dict(
-        mesh_xf=mesh_xf, mesh_nrm=mesh_nrm, mesh_meta=mesh_meta, mat_tab=mat_tab
+        mesh_xf=mesh_xf, mesh_nrm=mesh_nrm, mesh_meta=mesh_meta,
+        mat_tab=mat_tab, bw_gather=bw_gather, nrm_gather=nrm_gather,
     )
 
 
@@ -846,12 +951,13 @@ def path_trace_pallas(
         (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
     fshape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
 
     rr, rg, rb, segs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[smem] * 15 + [ray_spec] * 7,
+        in_specs=[smem] * 15 + [vmem_full] * 2 + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
         out_shape=[fshape] * 4,
         interpret=interpret,
@@ -861,6 +967,7 @@ def path_trace_pallas(
         scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
         tables["mesh_xf"], scene.kmesh_bw, tables["mesh_nrm"],
         tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
+        tables["bw_gather"], tables["nrm_gather"],
         *planes,
     )
     radiance = jnp.stack(
@@ -881,6 +988,7 @@ def _make_step_kernel(counts, *, t_min, max_dist):
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
         mesh_xf, mesh_bw, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
+        bw_v, nrm_v,
         ox, oy, oz, dx, dy, dz, uid, tr, tg, tb, rr, rg, rb, alive_i,
         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
         o_tr, o_tg, o_tb, o_rr, o_rg, o_rb, o_alive,
@@ -896,7 +1004,8 @@ def _make_step_kernel(counts, *, t_min, max_dist):
         bounce = _build_bounce(
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
-            mat_tab, sl_bounds, k0, k1, uid_u, shape, primary=True,
+            mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
+            primary=True,
         )
 
         any_alive = jnp.sum(alive_i[:]) > 0
@@ -1041,7 +1150,8 @@ def path_trace_wavefront(
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[smem] * 15 + [ray_spec] * 14,
+            in_specs=[smem] * 15 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [ray_spec] * 14,
             out_specs=[ray_spec] * 13,
             out_shape=[fshape] * 12 + [ishape],
             interpret=interpret,
@@ -1051,6 +1161,7 @@ def path_trace_wavefront(
             scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
             tables["mesh_xf"], scene.kmesh_bw, tables["mesh_nrm"],
             tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
+            tables["bw_gather"], tables["nrm_gather"],
             plane(ox), plane(oy), plane(oz), plane(dx), plane(dy), plane(dz),
             plane(uid), plane(tr), plane(tg), plane(tb),
             plane(rr), plane(rg), plane(rb), plane(alive),
