@@ -22,15 +22,16 @@ asserted by tests/test_bounce_kernel.py in interpret mode.
 
 Mesh scan (v4, packed min-key): the per-triangle Baldwin–Weber test
 folds every reject condition (u>=0, v>=0, u+v<=1, t>=t_min) into the
-sign bit of one int32 candidate key whose payload is the exact bitcast
-of t with the sign bit pre-flipped — for non-negative floats the
-two's-complement order of the flipped pattern equals the float order,
-so a signed `min`/`<` chain keeps the nearest hit with zero per-triangle
-payload selects. The winning triangle's row index is the only other
-per-triangle carry. After the scan, the winner's interpolation rows
-(Baldwin–Weber u/v rows) and octahedral corner normals are fetched once
-per bounce by per-lane dynamic gathers (`take_along_axis` over 128-lane
-table rows), and u, v are recomputed from the exact decoded t — the
+sign bit of one int32 candidate key whose payload is the raw bitcast of
+t — every live candidate has t ≥ t_min > 0, and for non-negative floats
+the int32 pattern order equals the float order, so a signed `<` chain
+keeps the nearest hit with zero per-triangle payload selects. The
+winning triangle's row index is the only other per-triangle carry.
+After the scan, the winner's Baldwin–Weber rows and octahedral corner
+normals are fetched once per bounce by per-lane dynamic gathers
+(`take_along_axis` over 128-lane table rows); its t is re-derived from
+the gathered plane row with one true divide, then u, v from that exact
+t — hit points never see the scan's approx-reciprocal error, and the
 hit set matches Möller–Trumbore up to float rounding at triangle edges
 (same contract as v3, tests/test_bounce_kernel.py tolerance).
 
@@ -329,19 +330,28 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         # (a 16-tri group runs only when some ray in the block hits the
         # group AABB closer than its current best).
         sl_ranges = counts["sl_ranges"]
-        SIGN = jnp.int32(-2147483648)
         INTMAX = jnp.int32(2147483647)
         tmin_f = jnp.float32(t_min)
         best_t, code, mat, nx, ny, nz, ff = carry
-        key0 = jax.lax.bitcast_convert_type(best_t, jnp.int32) ^ SIGN
-        key = key0
-        widx = izero
 
         def bci(x):
             return jax.lax.bitcast_convert_type(x, jnp.int32)
 
         def bcf(x):
             return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+        # Candidate keys are plain bitcasts of t (no sign-flip): every
+        # live candidate has t ≥ t_min > 0, whose int32 pattern order
+        # equals float order, so the signed cmp/select chain works on
+        # the raw patterns and the per-triangle xor disappears.
+        # (An index-in-key min-TREE variant was measured SLOWER, 466 vs
+        # 475 Mrays/s: the kernel is op-count-bound — each jnp op is
+        # already 8 vregs of ILP on (64,128) tiles — so the 2 extra
+        # pack ops/tri cost more than the shorter dependency chain
+        # saved. Kept serial chain; negative result recorded here.)
+        key0 = bci(best_t)
+        key = key0
+        widx = izero
 
         for mi, (start, count) in enumerate(mesh_ranges):
             r00 = mesh_xf[mi, 0]
@@ -363,18 +373,13 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             mdy = r10 * sdx + r11 * sdy + r12 * sdz
             mdz = r20 * sdx + r21 * sdy + r22 * sdz
 
-            def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
-                          mdx=mdx, mdy=mdy, mdz=mdz):
+            def bw_parts(i, mox=mox, moy=moy, moz=moz,
+                         mdx=mdx, mdy=mdy, mdz=mdz):
                 # Baldwin–Weber off the precomputed rows. Every reject
                 # (u<0, v<0, u+v>1, t<t_min) lands in the sign bit of
-                # `rej`; accepted candidates (t ≥ t_min > 0) bitcast to a
-                # positive int whose order equals float order, so the
-                # sign-flipped pattern is a signed key where smaller-t
-                # wins a `<` chain. den≈0 → t = ±inf/NaN → key pattern
-                # just below zero, beaten by any real t incl. the t_max
-                # init. Ties keep the earlier triangle (strict <), like
-                # the reference's scan order.
-                key, widx = packed
+                # `rej`. den≈0 → t = ±inf/NaN whose key pattern loses to
+                # any real t including the t_max init (padded zero rows
+                # produce NaN and never win).
                 b0 = mesh_bw[i, 0]
                 b1 = mesh_bw[i, 1]
                 b2 = mesh_bw[i, 2]
@@ -384,10 +389,10 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 # the exact divide was the single most expensive op of
                 # the whole scan (measured 396 → 476 Mrays/s). Error is
                 # 2^-15.9 relative (measured on v5e over [1e-3, 1e3]) —
-                # hit points move ≤ t·3e-5, two orders under the t_min
-                # acne epsilon, invisible to the statistical-parity
-                # contract. RT_RECIP=0 restores exact division; =1 adds
-                # one Newton step (~1 ulp, 451 Mrays/s).
+                # it only steers winner selection and the reject tests;
+                # the winner's t is re-derived exactly post-scan.
+                # RT_RECIP=0 restores exact division; =1 adds one
+                # Newton step (~1 ulp).
                 mode_r = _recip_mode()
                 if mode_r == "0":
                     t = num / den
@@ -404,9 +409,19 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
                      + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
                 rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - tmin_f))
-                cand = jnp.where(rej < 0, INTMAX, bci(t) ^ SIGN)
+                return t, rej
+
+            def mesh_body(i, packed):
+                key, widx = packed
+                t, rej = bw_parts(i)
+                cand = jnp.where(rej < 0, INTMAX, bci(t))
                 ok = cand < key
                 return jnp.where(ok, cand, key), jnp.where(ok, i, widx)
+
+            def scan16(packed, lo_i, mesh_body=mesh_body):
+                for k in range(16):
+                    packed = mesh_body(lo_i + k, packed)
+                return packed
 
             sl_first, sl_count = sl_ranges[mi]
             mode = _superleaf_mode()
@@ -417,11 +432,8 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 # Incoherent small-mesh scan: plain dense groups, no
                 # per-group slab/reduce/cond (they never cull here and
                 # their overhead is measurable).
-                def group_body(s, packed, mesh_body=mesh_body, start=start):
-                    lo_i = start + s * 16
-                    for k in range(16):
-                        packed = mesh_body(lo_i + k, packed)
-                    return packed
+                def group_body(s, packed, scan16=scan16, start=start):
+                    return scan16(packed, start + s * 16)
 
                 key, widx = jax.lax.fori_loop(
                     0, sl_count, group_body, (key, widx)
@@ -433,9 +445,9 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
             def sl_body(s, packed, mox=mox, moy=moy, moz=moz,
                         inv_mdx=inv_mdx, inv_mdy=inv_mdy, inv_mdz=inv_mdz,
-                        mesh_body=mesh_body, start=start,
+                        scan16=scan16, start=start,
                         sl_first=sl_first):
-                key, widx = packed
+                keyc = packed[0]
                 row = sl_first + s
                 t0x = (sl_bounds[row, 0] - mox) * inv_mdx
                 t1x = (sl_bounds[row, 3] - mox) * inv_mdx
@@ -449,8 +461,8 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 hiy = jnp.maximum(t0y, t1y)
                 loz = jnp.minimum(t0z, t1z)
                 hiz = jnp.maximum(t0z, t1z)
-                # current best decoded from the key (exact winner t)
-                tbest = bcf(key ^ SIGN)
+                # current best decoded from the key (raw t bitcast)
+                tbest = bcf(keyc)
                 tlo = jnp.maximum(
                     jnp.maximum(lox, loy), jnp.maximum(loz, jnp.float32(t_min))
                 )
@@ -464,10 +476,8 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 # body fully unrolls: one big basic block in which Mosaic
                 # can hoist the 12 SMEM loads per triangle ahead of the
                 # vector math instead of stalling on each.
-                def run_group(p, lo_i=lo_i, mesh_body=mesh_body):
-                    for k in range(16):
-                        p = mesh_body(lo_i + k, p)
-                    return p
+                def run_group(p, lo_i=lo_i, scan16=scan16):
+                    return scan16(p, lo_i)
 
                 return jax.lax.cond(any_hit, run_group, lambda p: p, packed)
 
@@ -493,8 +503,6 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
         if n_mesh:
             mesh_won = key < key0
-            t_mesh = bcf(key ^ SIGN)
-            best_t = jnp.where(mesh_won, t_mesh, best_t)
 
             lane = widx & 127
             piece = widx >> 7
@@ -510,10 +518,10 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                     acc = g if acc is None else jnp.where(piece == p, g, acc)
                 return acc
 
-            # winner's mesh-space ray (selected across meshes) + hitpoint
-            pxw = fzero
-            pyw = fzero
-            pzw = fzero
+            # winner's mesh-space ray (selected across meshes)
+            moxw = fzero
+            moyw = fzero
+            mozw = fzero
             mdxw = fzero
             mdyw = fzero
             mdzw = fzero
@@ -541,14 +549,30 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 mdx = r00 * sdx + r01 * sdy + r02 * sdz
                 mdy = r10 * sdx + r11 * sdy + r12 * sdz
                 mdz = r20 * sdx + r21 * sdy + r22 * sdz
-                pxw = jnp.where(in_mi, mox + t_mesh * mdx, pxw)
-                pyw = jnp.where(in_mi, moy + t_mesh * mdy, pyw)
-                pzw = jnp.where(in_mi, moz + t_mesh * mdz, pzw)
+                moxw = jnp.where(in_mi, mox, moxw)
+                moyw = jnp.where(in_mi, moy, moyw)
+                mozw = jnp.where(in_mi, moz, mozw)
                 mdxw = jnp.where(in_mi, mdx, mdxw)
                 mdyw = jnp.where(in_mi, mdy, mdyw)
                 mdzw = jnp.where(in_mi, mdz, mdzw)
                 mat = jnp.where(in_mi, mesh_meta[mi], mat)
                 code = jnp.where(in_mi, 4 + mi, code)
+
+            # exact winner t from the gathered Baldwin–Weber normal row
+            # (one true divide per bounce): hit points never carry the
+            # scan's approx-reciprocal or packed-key truncation error.
+            b0w = gather_col(bw_v, 0)
+            b1w = gather_col(bw_v, 1)
+            b2w = gather_col(bw_v, 2)
+            denw = b0w * mdxw + b1w * mdyw + b2w * mdzw
+            numw = gather_col(bw_v, 3) - (
+                b0w * moxw + b1w * moyw + b2w * mozw
+            )
+            t_mesh = numw / jnp.where(denw == 0.0, 1.0, denw)
+            best_t = jnp.where(mesh_won, t_mesh, best_t)
+            pxw = moxw + t_mesh * mdxw
+            pyw = moyw + t_mesh * mdyw
+            pzw = mozw + t_mesh * mdzw
 
             uu = (gather_col(bw_v, 4) * pxw + gather_col(bw_v, 5) * pyw
                   + gather_col(bw_v, 6) * pzw + gather_col(bw_v, 7))
