@@ -23,6 +23,25 @@ the material types `Lambertian`, `Metal`, `Dielectric`,
 `ParameterizedMaterial`, `Isotropic`.
 """
 
+import os as _os
+
+# Persistent XLA/Mosaic compilation cache: the fused path-trace kernels
+# take minutes of Mosaic compile per (scene-shape, chunk-shape); caching
+# makes that a once-ever cost instead of once-per-process. Opt out with
+# RT_COMPILE_CACHE=0; relocate with RT_COMPILE_CACHE_DIR.
+if _os.environ.get("RT_COMPILE_CACHE", "1") != "0":
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "RT_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "cs397rt_jax"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without these knobs: run uncached
+        pass
+
 from cs397raytracingsp22_tpu.models.camera import (
     Camera,
     CameraProjectionMode,

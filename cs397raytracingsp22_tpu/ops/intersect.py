@@ -513,6 +513,36 @@ def intersect_scene_fused(
     )
     valid = code >= 0
 
+    # Dense-mesh winners: the kernel's packed min-key scan reports only
+    # (code, local row); re-derive exact t/u/v from the winner's
+    # Baldwin–Weber row (one gather + one true divide per dense mesh) so
+    # the scan's approx-reciprocal never reaches hit points
+    # (tri_scan_big.py wrapper contract).
+    for k, mi in enumerate(scene.dense_mesh_ids):
+        start, count = scene.kmesh_ranges[k]
+        mask = code == CODE_MESH0 + k
+        mesh = scene.meshes[mi]
+        o_obj = _transform_point(mesh.inv_transform, o)
+        d_obj = _transform_vector(mesh.inv_transform, d)
+        rows = jnp.take(
+            scene.kmesh_bw, start + jnp.clip(idx, 0, count - 1), axis=0
+        )
+        den = (rows[:, 0] * d_obj[:, 0] + rows[:, 1] * d_obj[:, 1]
+               + rows[:, 2] * d_obj[:, 2])
+        num = rows[:, 3] - (
+            rows[:, 0] * o_obj[:, 0] + rows[:, 1] * o_obj[:, 1]
+            + rows[:, 2] * o_obj[:, 2]
+        )
+        t_ex = num / jnp.where(den == 0.0, 1.0, den)
+        p = o_obj + t_ex[:, None] * d_obj
+        u_ex = (rows[:, 4] * p[:, 0] + rows[:, 5] * p[:, 1]
+                + rows[:, 6] * p[:, 2] + rows[:, 7])
+        v_ex = (rows[:, 8] * p[:, 0] + rows[:, 9] * p[:, 1]
+                + rows[:, 10] * p[:, 2] + rows[:, 11])
+        t = jnp.where(mask, t_ex, t)
+        u = jnp.where(mask, u_ex, u)
+        v = jnp.where(mask, v_ex, v)
+
     # Merge big (BVH-traversed) meshes; they get codes after the dense ones.
     n_dense = len(scene.dense_mesh_ids)
     big_ids = [

@@ -35,11 +35,10 @@ t — hit points never see the scan's approx-reciprocal error, and the
 hit set matches Möller–Trumbore up to float rounding at triangle edges
 (same contract as v3, tests/test_bounce_kernel.py tolerance).
 
-Note one deliberate semantic simplification vs geometry.rs:336: the
-|det| >= 1e-4 grazing-ray reject is not replicated — a near-parallel ray
-produces t = num/den → ±huge/NaN whose key never wins unless the ray
-grazes within ~t·1e-4 of the triangle plane AND lands inside the
-triangle, a measure-≈0 event the image statistics cannot see.
+The reference's |det| >= 1e-4 grazing reject (geometry.rs:336) is
+replicated in the integer domain (|den| = |MT det| for Baldwin–Weber
+rows): it is NOT statistical noise — on small-triangle meshes the det
+is ~2·area and the reject fires on a few percent of real hits.
 """
 
 from __future__ import annotations
@@ -331,6 +330,8 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         # group AABB closer than its current best).
         sl_ranges = counts["sl_ranges"]
         INTMAX = jnp.int32(2147483647)
+        ABS_MASK = jnp.int32(0x7FFFFFFF)
+        EPS_BITS = jnp.int32(np.float32(MT_EPSILON).view(np.int32))
         tmin_f = jnp.float32(t_min)
         best_t, code, mat, nx, ny, nz, ff = carry
 
@@ -408,7 +409,14 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                      + mesh_bw[i, 6] * pz + mesh_bw[i, 7])
                 v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
                      + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
+                # the reference's |det| >= 1e-4 grazing reject
+                # (geometry.rs:336) in the integer domain: positive
+                # float patterns order like floats, so
+                # (|den|_bits - eps_bits) has the sign bit iff
+                # |den| < 1e-4. Not statistical noise: on small-triangle
+                # meshes (|e1×e2| ~ 1e-3) it fires on a few % of hits.
                 rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - tmin_f))
+                rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
                 return t, rej
 
             def mesh_body(i, packed):

@@ -71,9 +71,11 @@ def _mt_test(ox, oy, oz, dx, dy, dz, ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z,
     return ok, t, u, v
 
 
-def _make_kernel(counts):
+def _make_kernel(counts, exact_recip=False):
     """counts: dict with static n_sph, n_pln, n_tri, n_vol and
-    mesh_ranges [(start, count), ...] into the concatenated mesh table."""
+    mesh_ranges [(start, count), ...] into the concatenated mesh table.
+    exact_recip: True on the interpret/CPU path, whose approx reciprocal
+    is only ~2^-8 accurate (bounce.py/tri_scan_big.py contract)."""
     n_sph = counts["n_sph"]
     n_pln = counts["n_pln"]
     n_tri = counts["n_tri"]
@@ -250,16 +252,36 @@ def _make_kernel(counts):
             )
 
         # ---- dense meshes: object-space Baldwin–Weber group scans ----
-        # Same structure as the mega kernel's mesh section (bounce.py):
-        # BW rows off SMEM scalars, 16-triangle groups fully unrolled
-        # (kmesh ranges are 16-padded with inert zero rows), winner
-        # carries only (t, code, idx, u, v) — normals/material resolve
-        # happens in intersect_scene_fused. Superleaf slab culling for
-        # larger meshes (the sorted wavefront keeps blocks coherent).
+        # Same packed min-key structure as the mega kernel's mesh section
+        # (bounce.py): BW rows off SMEM scalars, 16-triangle groups fully
+        # unrolled (kmesh ranges are 16-padded with inert zero rows), the
+        # only carries are one int32 key (raw bitcast of t — valid
+        # candidates have t >= t_min > 0 so pattern order equals float
+        # order) and the winning global row. The winner's exact t/u/v are
+        # re-derived by intersect_scene_fused from its gathered row; the
+        # kernel's u/v/t outputs for mesh winners carry the scan's approx
+        # values only as placeholders. Superleaf slab culling for larger
+        # meshes (the sorted wavefront keeps blocks coherent).
         from cs397raytracingsp22_tpu.ops.pallas.bounce import (
             SL_MIN_TRIS_DEEP,
             _superleaf_mode,
         )
+
+        def bci(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+        def bcf(x):
+            return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+        INTMAX = jnp.int32(2147483647)
+        ABS_MASK = jnp.int32(0x7FFFFFFF)
+        import numpy as _np
+
+        EPS_BITS = jnp.int32(_np.float32(MT_EPSILON).view(_np.int32))
+        best_t0 = carry[0]
+        key0 = bci(best_t0)
+        key = key0
+        widx = izero
 
         for mi, (start, count) in enumerate(mesh_ranges):
             # inverse transform (scalars): o' = R*o + tr, d' = R*d
@@ -282,18 +304,18 @@ def _make_kernel(counts):
             mdy = r10 * dxv + r11 * dyv + r12 * dzv
             mdz = r20 * dxv + r21 * dyv + r22 * dzv
 
-            def mesh_body(i, carry, mox=mox, moy=moy, moz=moz,
-                          mdx=mdx, mdy=mdy, mdz=mdz, start=start, mi=mi):
-                best_t, code, idx, mat, uu, vv, nx, ny, nz, ff = carry
-                den = (mesh_bw[i, 0] * mdx + mesh_bw[i, 1] * mdy
-                       + mesh_bw[i, 2] * mdz)
-                no_ = (mesh_bw[i, 0] * mox + mesh_bw[i, 1] * moy
-                       + mesh_bw[i, 2] * moz)
-                t = jnp.where(
-                    jnp.abs(den) >= MT_EPSILON,
-                    # sentinel -1: rejected by t >= t_min even at t_min 0
-                    (mesh_bw[i, 3] - no_) / den, -1.0,
-                )
+            def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
+                          mdx=mdx, mdy=mdy, mdz=mdz):
+                key, widx = packed
+                b0 = mesh_bw[i, 0]
+                b1 = mesh_bw[i, 1]
+                b2 = mesh_bw[i, 2]
+                den = b0 * mdx + b1 * mdy + b2 * mdz
+                num = mesh_bw[i, 3] - (b0 * mox + b1 * moy + b2 * moz)
+                if exact_recip:
+                    t = num / jnp.where(den == 0.0, 1e-30, den)
+                else:
+                    t = num * pl.reciprocal(den, approx=True)
                 px = mox + t * mdx
                 py = moy + t * mdy
                 pz = moz + t * mdz
@@ -301,23 +323,17 @@ def _make_kernel(counts):
                      + mesh_bw[i, 6] * pz + mesh_bw[i, 7])
                 v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
                      + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
-                bmin = jnp.minimum(jnp.minimum(u, v), (1.0 - u) - v)
-                ok = (bmin >= 0.0) & (t >= t_min) & (t < best_t)
-                return (
-                    jnp.where(ok, t, best_t),
-                    jnp.where(ok, CODE_MESH0 + mi, code),
-                    jnp.where(ok, i - start, idx),
-                    mat,
-                    jnp.where(ok, u, uu),
-                    jnp.where(ok, v, vv),
-                    nx, ny, nz, ff,
-                )
+                rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - t_min))
+                rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
+                cand = jnp.where(rej < 0, INTMAX, bci(t))
+                ok = cand < key
+                return jnp.where(ok, cand, key), jnp.where(ok, i, widx)
 
-            def group_body(s, carry, mesh_body=mesh_body, start=start):
+            def group_body(s, packed, mesh_body=mesh_body, start=start):
                 lo_i = start + s * 16
                 for k in range(16):
-                    carry = mesh_body(lo_i + k, carry)
-                return carry
+                    packed = mesh_body(lo_i + k, packed)
+                return packed
 
             sl_first, sl_count = sl_ranges[mi]
             mode = _superleaf_mode()
@@ -325,14 +341,16 @@ def _make_kernel(counts):
                 mode == "1" and count >= SL_MIN_TRIS_DEEP
             )
             if not cull:
-                carry = jax.lax.fori_loop(0, count // 16, group_body, carry)
+                key, widx = jax.lax.fori_loop(
+                    0, count // 16, group_body, (key, widx)
+                )
                 continue
 
             inv_mdx = 1.0 / mdx
             inv_mdy = 1.0 / mdy
             inv_mdz = 1.0 / mdz
 
-            def sl_body(s, carry, mox=mox, moy=moy, moz=moz,
+            def sl_body(s, packed, mox=mox, moy=moy, moz=moz,
                         inv_mdx=inv_mdx, inv_mdy=inv_mdy, inv_mdz=inv_mdz,
                         group_body=group_body, sl_first=sl_first):
                 row = sl_first + s
@@ -348,16 +366,30 @@ def _make_kernel(counts):
                 )
                 thi = jnp.minimum(
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), carry[0]),
+                    jnp.minimum(jnp.maximum(t0z, t1z), bcf(packed[0])),
                 )
                 any_hit = jnp.sum((thi > tlo).astype(jnp.float32)) > 0.0
                 return jax.lax.cond(
-                    any_hit, lambda c, s=s: group_body(s, c), lambda c: c, carry
+                    any_hit, lambda p, s=s: group_body(s, p), lambda p: p, packed
                 )
 
-            carry = jax.lax.fori_loop(0, sl_count, sl_body, carry)
+            key, widx = jax.lax.fori_loop(0, sl_count, sl_body, (key, widx))
 
         best_t, code, idx, mat, uu, vv, nx, ny, nz, ff = carry
+        if mesh_ranges:
+            # mesh winner merge: decoded approx t (exact t/u/v re-derived
+            # by the wrapper); idx is the mesh-local row (winner's global
+            # row minus its mesh's start)
+            mesh_won = key < key0
+            best_t = jnp.where(mesh_won, bcf(key), best_t)
+            for mi, (start, count) in enumerate(mesh_ranges):
+                if len(mesh_ranges) == 1:
+                    in_mi = mesh_won
+                else:
+                    hi16 = start + ((count + 15) // 16) * 16
+                    in_mi = mesh_won & (widx >= start) & (widx < hi16)
+                code = jnp.where(in_mi, CODE_MESH0 + mi, code)
+                idx = jnp.where(in_mi, widx - start, idx)
         o_t[:] = best_t
         o_code[:] = code
         o_idx[:] = idx
@@ -425,7 +457,7 @@ def scene_intersect_pallas(
     fshape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
     ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
 
-    kernel = _make_kernel(counts)
+    kernel = _make_kernel(counts, exact_recip=interpret)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),

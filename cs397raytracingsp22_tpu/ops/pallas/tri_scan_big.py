@@ -10,8 +10,11 @@ in v1/v2 (measured 43 vs 199 cycles per 8-tri×512-ray chunk). SMEM holds
 v3 therefore pieces the mesh through SMEM via the grid — the matmul
 k-loop pattern: grid = (ray_blocks, pieces), the piece axis innermost;
 each step DMAs one 1024-triangle piece (48KB of Baldwin–Weber rows) into
-SMEM and runs the mega-kernel-style unrolled scan over the ray block,
-accumulating (best_t, u, v, id) in the revisited output block.
+SMEM and runs the mega-kernel-style packed min-key scan over the ray
+block, accumulating only (best_key, id) in the revisited output block —
+the winner's exact t/u/v are re-derived by the wrapper from one gathered
+row per ray (bounce.py v4 contract: approx-reciprocal t and key rounding
+steer winner choice only).
 
 Two culling levels ride on top (triangles are in BVH order, so runs are
 spatially coherent):
@@ -55,7 +58,7 @@ SL_PER_PIECE = PIECE_TRIS // SL
 
 
 def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
-            bt, bu, bv, bid, *, n_pieces):
+            bk, bid, *, n_pieces, exact_recip):
     j = pl.program_id(1)
 
     o_x = ox[:]
@@ -65,17 +68,25 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
     d_y = dy[:]
     d_z = dz[:]
     t_min = tmn[:]
+    INTMAX = jnp.int32(2147483647)
+    ABS_MASK = jnp.int32(0x7FFFFFFF)
+    EPS_BITS = jnp.int32(np.float32(MT_EPSILON).view(np.int32))
+
+    def bci(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    def bcf(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
 
     @pl.when(j == 0)
     def _():
-        bt[:] = tmx[:]
-        bu[:] = o_x * 0.0
-        bv[:] = o_x * 0.0
+        # key = raw bitcast of t_max: every live candidate has
+        # t >= t_min >= 0, whose int32 pattern order equals float order
+        # (bounce.py packed min-key scan, same contract)
+        bk[:] = bci(tmx[:])
         bid[:] = (o_x * 0.0).astype(jnp.int32) - 1
 
-    best_t = bt[:]
-    best_u = bu[:]
-    best_v = bv[:]
+    best_k = bk[:]
     best_id = bid[:]
 
     inv_dx = 1.0 / d_x
@@ -100,17 +111,27 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
         return jnp.sum((hi > lo).astype(jnp.float32)) > 0.0
 
     def tri_test(local, carry):
-        """Baldwin–Weber off SMEM scalars (bounce.py mesh_body twin)."""
-        best_t, best_u, best_v, best_id = carry
+        """Baldwin–Weber off SMEM scalars (bounce.py mesh_body twin):
+        every reject (u<0, v<0, u+v>1, t<t_min) folds into the sign bit
+        of `rej`; t uses the VPU approx reciprocal — the winner's exact
+        t/u/v are re-derived by the wrapper from its gathered rows, so
+        the scan's rounding only steers winner choice at triangle edges.
+        Zero padding rows give t = NaN whose key pattern never wins."""  # noqa: D405
+        best_k, best_id = carry
         b = local * 12
-        den = (piece_bw[0, b + 0] * d_x + piece_bw[0, b + 1] * d_y
-               + piece_bw[0, b + 2] * d_z)
-        no_ = (piece_bw[0, b + 0] * o_x + piece_bw[0, b + 1] * o_y
-               + piece_bw[0, b + 2] * o_z)
-        t = jnp.where(
-            # sentinel -1: rejected by t >= t_min even when t_min == 0
-            jnp.abs(den) >= MT_EPSILON, (piece_bw[0, b + 3] - no_) / den, -1.0
-        )
+        b0 = piece_bw[0, b + 0]
+        b1 = piece_bw[0, b + 1]
+        b2 = piece_bw[0, b + 2]
+        den = b0 * d_x + b1 * d_y + b2 * d_z
+        num = piece_bw[0, b + 3] - (b0 * o_x + b1 * o_y + b2 * o_z)
+        # interpret mode's approx reciprocal is only ~2^-8 accurate
+        # (measured) — coarse enough to flip edge inside-tests — so the
+        # CPU/interpret path divides exactly; TPU uses the 2^-15.9 VPU
+        # approx (same contract as bounce.py).
+        if exact_recip:
+            t = num / jnp.where(den == 0.0, 1e-30, den)
+        else:
+            t = num * pl.reciprocal(den, approx=True)
         px = o_x + t * d_x
         py = o_y + t * d_y
         pz = o_z + t * d_z
@@ -118,13 +139,18 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
              + piece_bw[0, b + 6] * pz + piece_bw[0, b + 7])
         v = (piece_bw[0, b + 8] * px + piece_bw[0, b + 9] * py
              + piece_bw[0, b + 10] * pz + piece_bw[0, b + 11])
-        bmin = jnp.minimum(jnp.minimum(u, v), (1.0 - u) - v)
-        ok = (bmin >= 0.0) & (t >= t_min) & (t < best_t)
+        # the reference's |det| >= 1e-4 grazing reject (geometry.rs:336)
+        # in the integer domain: |den| patterns are positive and ordered
+        # like floats, so (|den|_bits - eps_bits) has the sign bit iff
+        # |den| < 1e-4. On small-triangle meshes (32k-tri sphere) this
+        # fires on ~3% of hits — real reference behavior, not noise.
+        rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - t_min))
+        rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
+        cand = jnp.where(rej < 0, INTMAX, bci(t))
+        ok = cand < best_k
         gid = j * PIECE_TRIS + local
         return (
-            jnp.where(ok, t, best_t),
-            jnp.where(ok, u, best_u),
-            jnp.where(ok, v, best_v),
+            jnp.where(ok, cand, best_k),
             jnp.where(ok, gid, best_id),
         )
 
@@ -142,7 +168,7 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
         hit = slab_any(
             piece_sl[0, sb + 0], piece_sl[0, sb + 1], piece_sl[0, sb + 2],
             piece_sl[0, sb + 3], piece_sl[0, sb + 4], piece_sl[0, sb + 5],
-            carry[0],
+            bcf(carry[0]),
         )
 
         def run(carry, s=s):
@@ -162,16 +188,14 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
     piece_hit = slab_any(
         piece_box[j, 0], piece_box[j, 1], piece_box[j, 2],
         piece_box[j, 3], piece_box[j, 4], piece_box[j, 5],
-        best_t,
+        bcf(best_k),
     )
-    best_t, best_u, best_v, best_id = jax.lax.cond(
+    best_k, best_id = jax.lax.cond(
         piece_hit, scan_piece, lambda c: c,
-        (best_t, best_u, best_v, best_id),
+        (best_k, best_id),
     )
 
-    bt[:] = best_t
-    bu[:] = best_u
-    bv[:] = best_v
+    bk[:] = best_k
     bid[:] = best_id
 
 
@@ -231,16 +255,17 @@ def tri_scan_big_pallas(
     sl_spec = pl.BlockSpec(
         (1, SL_PER_PIECE * 6), lambda i, j: (0, j), memory_space=pltpu.SMEM
     )
-    fshape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.float32)
     ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
 
-    kernel = functools.partial(_kernel, n_pieces=n_pieces)
-    bt, bu, bv, bid = pl.pallas_call(
+    kernel = functools.partial(
+        _kernel, n_pieces=n_pieces, exact_recip=interpret
+    )
+    bk, bid = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem_all, bw_spec, sl_spec] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
-        out_shape=[fshape, fshape, fshape, ishape],
+        out_specs=[ray_spec] * 2,
+        out_shape=[ishape, ishape],
         interpret=interpret,
     )(
         big_box,
@@ -249,12 +274,23 @@ def tri_scan_big_pallas(
         *planes,
     )
 
-    best_t = bt.reshape(-1)[:n]
-    best_u = bu.reshape(-1)[:n]
-    best_v = bv.reshape(-1)[:n]
     best_id = bid.reshape(-1)[:n]
     hit = best_id >= 0
-    return hit, jnp.where(hit, best_t, jnp.inf), jnp.maximum(best_id, 0), best_u, best_v
+    idx = jnp.maximum(best_id, 0)
+
+    # Exact winner resolve (one XLA gather + one true divide per ray):
+    # the in-scan approx-reciprocal/key rounding never reaches hit
+    # points — it only steered winner choice at triangle edges.
+    rows = jnp.take(big_bw, idx, axis=0)
+    den = rows[:, 0] * d[:, 0] + rows[:, 1] * d[:, 1] + rows[:, 2] * d[:, 2]
+    num = rows[:, 3] - (
+        rows[:, 0] * o[:, 0] + rows[:, 1] * o[:, 1] + rows[:, 2] * o[:, 2]
+    )
+    best_t = num / jnp.where(den == 0.0, 1.0, den)
+    p = o + best_t[:, None] * d
+    best_u = rows[:, 4] * p[:, 0] + rows[:, 5] * p[:, 1] + rows[:, 6] * p[:, 2] + rows[:, 7]
+    best_v = rows[:, 8] * p[:, 0] + rows[:, 9] * p[:, 1] + rows[:, 10] * p[:, 2] + rows[:, 11]
+    return hit, jnp.where(hit, best_t, jnp.inf), idx, best_u, best_v
 
 
 def pack_big_tables(tri_bw: np.ndarray, tri_table: np.ndarray):

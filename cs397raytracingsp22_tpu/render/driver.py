@@ -193,6 +193,13 @@ def render_to_image(
         work_per_px = per_px_rays * max(1, cam.path_depth) * max(16, prim_tests)
         budget = 1 << 36  # ~7e10 ray·prim·bounce units ≈ a few seconds
         pixel_chunk = max(1, min(n_px_total, budget // work_per_px))
+        # round down to a power of two: the chunk size sets the compiled
+        # program's shape, and pow2 sizes collapse the (resolution, spp,
+        # scene) space onto few distinct shapes — far fewer multi-minute
+        # Mosaic compiles and far more persistent-cache hits. Output is
+        # bit-identical for any chunking (content-keyed RNG).
+        if pixel_chunk < n_px_total:
+            pixel_chunk = 1 << (pixel_chunk.bit_length() - 1)
     if spp_chunk is None:
         spp_chunk = spp
     spp_chunk = min(spp_chunk, spp)
