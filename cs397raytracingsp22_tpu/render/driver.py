@@ -44,17 +44,26 @@ class RenderStats:
     compile_seconds: float = 0.0
     primary_rays: int = 0
     path_segments: float = 0.0
+    # post-first-chunk accounting: the first chunk's wall time is
+    # dominated by compile, so steady-state rates come from the
+    # remaining chunks (zero for single-chunk renders → rates fall back
+    # to whole-wall, the only measurement available)
+    steady_seconds: float = 0.0
+    steady_segments: float = 0.0
+    steady_primary: int = 0
     device_count: int = 1
 
     @property
     def primary_mrays_per_sec(self) -> float:
-        t = self.wall_seconds or 1e-9
-        return self.primary_rays / t / 1e6
+        if self.steady_seconds > 0:
+            return self.steady_primary / self.steady_seconds / 1e6
+        return self.primary_rays / (self.wall_seconds or 1e-9) / 1e6
 
     @property
     def segment_mrays_per_sec(self) -> float:
-        t = self.wall_seconds or 1e-9
-        return self.path_segments / t / 1e6
+        if self.steady_seconds > 0:
+            return self.steady_segments / self.steady_seconds / 1e6
+        return self.path_segments / (self.wall_seconds or 1e-9) / 1e6
 
     def summary(self) -> str:
         return (
@@ -257,6 +266,10 @@ def render_to_image(
             if not first_chunk_done:
                 stats.compile_seconds = time.perf_counter() - t0
                 first_chunk_done = True
+            else:
+                stats.steady_seconds += time.perf_counter() - t0
+                stats.steady_segments += float(segs)
+                stats.steady_primary += n_valid * s_count * n_chains
             total_segments += float(segs)
             accum[ci * pixel_chunk : ci * pixel_chunk + n_valid] += rad_sum[:n_valid]
             if verbose:
