@@ -201,6 +201,13 @@ def render_to_image(
         )
         work_per_px = per_px_rays * max(1, cam.path_depth) * max(16, prim_tests)
         budget = 1 << 36  # ~7e10 ray·prim·bounce units ≈ a few seconds
+        if len(scene_data.dense_mesh_ids) < len(scene_data.meshes):
+            # big-mesh scenes run the sorted wavefront, whose
+            # piece/superleaf culling improves with batch size (more
+            # rays per Morton cell → more coherent blocks), and their
+            # effective work is far below the dense product above
+            # thanks to that culling — so allow 4× bigger dispatches
+            budget <<= 2
         pixel_chunk = max(1, min(n_px_total, budget // work_per_px))
         # round down to a power of two: the chunk size sets the compiled
         # program's shape, and pow2 sizes collapse the (resolution, spp,
