@@ -191,7 +191,12 @@ def render_to_image(
         # not just ray count: big dispatches pipeline Pallas grid blocks
         # and amortize dispatch latency (measured 2× vs small chunks),
         # but a dispatch that runs for minutes trips device timeouts.
-        per_px_rays = max(1, spp * n_chains)
+        # budget against the spp actually dispatched per chunk — a
+        # checkpointed 1000-spp render with spp_chunk=50 dispatches
+        # 50-spp chunks, so sizing by the full spp would shrink pixel
+        # chunks 20x for nothing
+        eff_spp = min(spp, spp_chunk) if spp_chunk else spp
+        per_px_rays = max(1, eff_spp * n_chains)
         prim_tests = (
             scene_data.n_spheres
             + scene_data.n_planes
