@@ -15,10 +15,8 @@ All chunking is invisible to the image: RNG is content-keyed, so any
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
-from functools import partial
 from typing import Optional
 
 import jax

@@ -15,7 +15,6 @@ from cs397raytracingsp22_tpu import (
 )
 from cs397raytracingsp22_tpu.render import integrator
 from cs397raytracingsp22_tpu.render.driver import render_chunk, render_to_image
-from cs397raytracingsp22_tpu.utils import rng as rnglib
 
 
 def trace(scene_objects, o, d, n_rays=2048, depth=10, seed=0, max_dist=10000.0):

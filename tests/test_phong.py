@@ -6,7 +6,6 @@ import numpy as np
 
 from cs397raytracingsp22_tpu import Camera, Lambertian, Plane, Scene, Sphere
 from cs397raytracingsp22_tpu.render import integrator
-from cs397raytracingsp22_tpu.utils import rng as rnglib
 
 
 def phong(objects, o, d, light=(0, 10, 0), ambient=(0.1, 0.1, 0.1), eye=(0, 0, 0)):

@@ -8,7 +8,6 @@ produces bit-identical radiance once restored to caller order.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from cs397raytracingsp22_tpu import Camera, Lambertian, Metal, Plane, Scene, Sphere, Triangle
 from cs397raytracingsp22_tpu.models.geometry import StaticMesh

@@ -4,7 +4,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from cs397raytracingsp22_tpu import Camera, Scene
-from cs397raytracingsp22_tpu.models.scene import compile_scene
 from cs397raytracingsp22_tpu.ops.intersect import sample_texture
 from cs397raytracingsp22_tpu.utils.texture import TextureAtlasBuilder
 

@@ -102,7 +102,6 @@ def main():
 
     print("== bf16 vs f32 VPU elementwise in pallas ==", flush=True)
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     def make_k(dtype, iters=2000):
         def kern(x_ref, o_ref):
