@@ -47,11 +47,12 @@ LANES = 128
 def _block_rows() -> int:
     # Ray-block rows (RT_BIG_ROWS overrides). Smaller blocks cull finer
     # (the piece/superleaf conds test any-of-block) but pay more grid/DMA
-    # overhead per piece step; measured on the 32k sphere: 32 rows ≈ 2.9
-    # incoherent / 8.9 sorted Mrays/s vs 2.0/4.9 at 8 rows — bigger wins.
+    # overhead per piece step. Re-measured after the v4 packed carry +
+    # pos-major sort key: 64 rows beats 32 on both secondary-ray
+    # scenarios (14.9 vs 14.5 and 5.8 vs 5.7 Mrays/s on the 32k sphere).
     import os
 
-    return int(os.environ.get("RT_BIG_ROWS", "32"))
+    return int(os.environ.get("RT_BIG_ROWS", "64"))
 SL = 16  # superleaf run length (triangles)
 PIECE_TRIS = 1024  # triangles per SMEM piece (48KB of BW rows)
 SL_PER_PIECE = PIECE_TRIS // SL
