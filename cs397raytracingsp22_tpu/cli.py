@@ -57,14 +57,19 @@ def main(argv=None):
     mod = load_scene_module(args.scene)
     scene = mod.build(**overrides)
 
-    img, stats = render_to_image(
-        scene,
-        seed=args.seed,
-        pixel_chunk=args.pixel_chunk,
-        spp_chunk=args.spp_chunk,
-        checkpoint_path=args.checkpoint,
-        verbose=not args.quiet,
-    )
+    from cs397raytracingsp22_tpu.utils.profiling import device_trace
+
+    # RT_PROFILE_DIR=dir captures a jax.profiler trace of the whole
+    # render (TensorBoard/Perfetto); no-op when unset
+    with device_trace():
+        img, stats = render_to_image(
+            scene,
+            seed=args.seed,
+            pixel_chunk=args.pixel_chunk,
+            spp_chunk=args.spp_chunk,
+            checkpoint_path=args.checkpoint,
+            verbose=not args.quiet,
+        )
     save_png(img, args.output)
     if not args.quiet:
         print(f"[cli] wrote {args.output}")
