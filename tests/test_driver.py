@@ -101,8 +101,12 @@ def test_path_samples_chains():
     chain-replication path: deterministic, statistically consistent with
     path_samples=1, and strictly different sample sets."""
     s1 = cornell.build(width=8, height=8, spp=4, path_depth=3)
+    import dataclasses
+
     s2 = cornell.build(width=8, height=8, spp=4, path_depth=3)
-    s2.camera.path_samples = 2
+    s2 = dataclasses.replace(
+        s2, camera=dataclasses.replace(s2.camera, path_samples=2)
+    )
     img1, st1 = render_to_image(s1, seed=3, verbose=False)
     img2, st2 = render_to_image(s2, seed=3, verbose=False)
     img2b, _ = render_to_image(s2, seed=3, verbose=False)
@@ -117,8 +121,15 @@ def test_orthographic_render():
     tracing.rs:194-203: ortho ray origins ignore the eyepoint)."""
     from cs397raytracingsp22_tpu.models.camera import CameraProjectionMode
 
+    import dataclasses
+
     scene = cornell.build(width=8, height=8, spp=2, path_depth=2)
-    scene.camera.projection_mode = CameraProjectionMode.ORTHOGRAPHIC
+    scene = dataclasses.replace(
+        scene,
+        camera=dataclasses.replace(
+            scene.camera, projection_mode=CameraProjectionMode.ORTHOGRAPHIC
+        ),
+    )
     img, stats = render_to_image(scene, seed=0, verbose=False)
     assert img.shape == (8, 8, 3)
     assert np.isfinite(img.astype(np.float64)).all()
