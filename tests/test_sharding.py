@@ -59,3 +59,72 @@ def test_render_to_image_sharded_matches_driver(small_scene):
     img_sh, stats = sharding.render_to_image_sharded(scene, mesh, seed=4, verbose=False)
     np.testing.assert_array_equal(img_ref, img_sh)
     assert stats.device_count == 8
+
+
+def test_sharded_big_mesh_scene_matches_single_device():
+    """The big-mesh (piece-scan + sorted-wavefront) path also shards:
+    a mesh above DENSE_MESH_MAX_TRIS forces tri_scan_big inside the
+    sharded chunk; per-shard sorting is a pure permutation (content-keyed
+    RNG), so the sharded result is bit-identical to the unsharded chunk."""
+    import numpy as np
+
+    from cs397raytracingsp22_tpu import Camera, Lambertian, Plane, Scene, Sphere
+    from cs397raytracingsp22_tpu.models.geometry import StaticMesh
+    from cs397raytracingsp22_tpu.ops.bvh import DENSE_MESH_MAX_TRIS
+    from cs397raytracingsp22_tpu.render.driver import render_chunk
+    from cs397raytracingsp22_tpu.utils import threefry
+
+    # synthesize an OBJ just above the dense limit so it takes the big path
+    import tempfile, os
+
+    n_quads = DENSE_MESH_MAX_TRIS // 2 + 8  # triangulates to > max tris
+    rng = np.random.default_rng(0)
+    lines = []
+    k = int(np.ceil(np.sqrt(n_quads)))
+    for i in range(k + 1):
+        for j in range(k + 1):
+            lines.append(f"v {i * 0.02 - k * 0.01} {j * 0.02 - k * 0.01} {rng.uniform(-0.01, 0.01):.4f}")
+    def vid(i, j):
+        return i * (k + 1) + j + 1
+    c = 0
+    for i in range(k):
+        for j in range(k):
+            if c >= n_quads:
+                break
+            lines.append(f"f {vid(i,j)} {vid(i+1,j)} {vid(i+1,j+1)} {vid(i,j+1)}")
+            c += 1
+    with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+        f.write("\n".join(lines))
+        obj_path = f.name
+    try:
+        mesh_obj = StaticMesh.load_from_file(
+            obj_path, material=Lambertian(albedo=(0.6, 0.6, 0.6))
+        )
+        scene = Scene(
+            camera=Camera(
+                eyepoint=(0, 0, 1.2), view_dir=(0, 0, -1), up=(0, 1, 0),
+                screen_width=8, screen_height=8, aa_sample_count=2,
+                path_depth=2,
+            ),
+            objects=[
+                mesh_obj,
+                Plane(point=(0, -1, 0), normal=(0, 1, 0),
+                      material=Lambertian(albedo=(0.5, 0.5, 0.5))),
+                Sphere(center=(0, 2, 0), radius=0.5,
+                       material=Lambertian(albedo=(0, 0, 0), emission=(5, 5, 5))),
+            ],
+        )
+        data = scene.compile()
+        assert len(data.dense_mesh_ids) < len(data.meshes), "must take big path"
+
+        key = threefry.key_words(7)
+        pixel_ids = jnp.arange(64, dtype=jnp.int32)
+        ref_sum, ref_segs = render_chunk(
+            data, scene.camera, pixel_ids, key, jnp.int32(0), 2, 1
+        )
+        mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
+        fn = sharding.make_sharded_render_chunk(mesh, scene.camera, 2)
+        out_sum, out_segs = fn(data, pixel_ids, key, jnp.int32(0))
+        np.testing.assert_array_equal(np.asarray(ref_sum), np.asarray(out_sum))
+    finally:
+        os.unlink(obj_path)
