@@ -144,6 +144,7 @@ _SCENE_DATA_FIELDS = [
         "kmesh_ranges",
         "ksl_ranges",
         "dense_mesh_ids",
+        "mat_types_present",
     ],
 )
 @dataclasses.dataclass
@@ -219,6 +220,9 @@ class SceneData:
     kmesh_ranges: Tuple[Tuple[int, int], ...]
     ksl_ranges: Tuple[Tuple[int, int], ...]  # per dense mesh: (first superleaf, count)
     dense_mesh_ids: Tuple[int, ...]
+    # static set of material TYPE enums occurring in the scene: kernels
+    # compile out the masked-switch branches of absent classes
+    mat_types_present: Tuple[int, ...] = (0, 1, 2, 3, 4)
 
 
 @dataclasses.dataclass
@@ -449,6 +453,7 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         kmesh_ranges=tuple(ranges),
         ksl_ranges=tuple(sl_ranges),
         dense_mesh_ids=dense_ids,
+        mat_types_present=tuple(sorted({int(t) for t in table["mat_type"]})),
     )
 
 

@@ -159,6 +159,11 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
     n_vol = counts["n_vol"]
     mesh_ranges = counts["mesh_ranges"]
     n_mat = counts["n_mat"]
+    mat_present = counts.get("mat_present", (0, 1, 2, 3, 4))
+    has_met = matlib.METAL in mat_present
+    has_die = matlib.DIELECTRIC in mat_present
+    has_par = matlib.PARAMETERIZED in mat_present
+    has_iso = matlib.ISOTROPIC in mat_present
     n_mesh = len(mesh_ranges)
     fzero = jnp.zeros(shape, jnp.float32)
     izero = jnp.zeros(shape, jnp.int32)
@@ -689,80 +694,94 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         ryd = sdy - 2.0 * ddn * ny
         rzd = sdz - 2.0 * ddn * nz
 
-        # metal dir = reflect + roughness*ball
-        mexd = rxd + rough * bx
-        meyd = ryd + rough * by
-        mezd = rzd + rough * bz
+        # metal dir = reflect + roughness*ball (used by Metal and the
+        # Parameterized specular lobe)
+        if has_met or has_par:
+            mexd = rxd + rough * bx
+            meyd = ryd + rough * by
+            mezd = rzd + rough * bz
 
-        # dielectric
-        ffb = ff > 0
-        eta = jnp.where(ffb, 1.0 / ior, ior)
-        cos_in = jnp.minimum(-(ddn), 1.0)
-        critical = eta * jnp.sqrt(jnp.maximum(1.0 - cos_in * cos_in, 0.0)) > 1.0
-        r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
-        fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(ddn)) ** 5
-        # refract (tracing.rs:64-69)
-        ct = jnp.minimum(-(ddn), 1.0)
-        perp_x = eta * (sdx + ct * nx)
-        perp_y = eta * (sdy + ct * ny)
-        perp_z = eta * (sdz + ct * nz)
-        perp2 = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
-        par = -jnp.sqrt(jnp.abs(1.0 - perp2))
-        refr_x = perp_x + par * nx
-        refr_y = perp_y + par * ny
-        refr_z = perp_z + par * nz
-        will_refract = (~critical) & (u_choice >= fres)
-        diex = jnp.where(will_refract, refr_x, rxd)
-        diey = jnp.where(will_refract, refr_y, ryd)
-        diez = jnp.where(will_refract, refr_z, rzd)
+        # dielectric (compiled out when the scene has no Dielectric)
+        if has_die:
+            ffb = ff > 0
+            eta = jnp.where(ffb, 1.0 / ior, ior)
+            cos_in = jnp.minimum(-(ddn), 1.0)
+            critical = (
+                eta * jnp.sqrt(jnp.maximum(1.0 - cos_in * cos_in, 0.0)) > 1.0
+            )
+            r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+            fres = r0 + (1.0 - r0) * (1.0 - jnp.abs(ddn)) ** 5
+            # refract (tracing.rs:64-69)
+            ct = jnp.minimum(-(ddn), 1.0)
+            perp_x = eta * (sdx + ct * nx)
+            perp_y = eta * (sdy + ct * ny)
+            perp_z = eta * (sdz + ct * nz)
+            perp2 = perp_x * perp_x + perp_y * perp_y + perp_z * perp_z
+            par = -jnp.sqrt(jnp.abs(1.0 - perp2))
+            refr_x = perp_x + par * nx
+            refr_y = perp_y + par * ny
+            refr_z = perp_z + par * nz
+            will_refract = (~critical) & (u_choice >= fres)
+            diex = jnp.where(will_refract, refr_x, rxd)
+            diey = jnp.where(will_refract, refr_y, ryd)
+            diez = jnp.where(will_refract, refr_z, rzd)
 
-        # parameterized
-        r0_15 = jnp.float32(((1.5 - 1.0) / (1.5 + 1.0)) ** 2)
-        fres15 = r0_15 + (1.0 - r0_15) * (1.0 - jnp.abs(ddn)) ** 5
-        k_s = fres15 * (1.0 - rough)
-        k_d = (1.0 - k_s) * (1.0 - metal)
-        diffuse = u_choice < k_d
-        par_x = jnp.where(diffuse, hx, mexd)
-        par_y = jnp.where(diffuse, hy, meyd)
-        par_z = jnp.where(diffuse, hz, mezd)
-        par_ar = jnp.where(diffuse, alb_r / PI, 1.0 + (alb_r - 1.0) * metal)
-        par_ag = jnp.where(diffuse, alb_g / PI, 1.0 + (alb_g - 1.0) * metal)
-        par_ab = jnp.where(diffuse, alb_b / PI, 1.0 + (alb_b - 1.0) * metal)
-        par_pdf = jnp.where(diffuse, jnp.float32(1.0 / TWO_PI), 1.0)
+        # parameterized (compiled out when absent)
+        if has_par:
+            r0_15 = jnp.float32(((1.5 - 1.0) / (1.5 + 1.0)) ** 2)
+            fres15 = r0_15 + (1.0 - r0_15) * (1.0 - jnp.abs(ddn)) ** 5
+            k_s = fres15 * (1.0 - rough)
+            k_d = (1.0 - k_s) * (1.0 - metal)
+            diffuse = u_choice < k_d
+            par_x = jnp.where(diffuse, hx, mexd)
+            par_y = jnp.where(diffuse, hy, meyd)
+            par_z = jnp.where(diffuse, hz, mezd)
+            par_ar = jnp.where(diffuse, alb_r / PI, 1.0 + (alb_r - 1.0) * metal)
+            par_ag = jnp.where(diffuse, alb_g / PI, 1.0 + (alb_g - 1.0) * metal)
+            par_ab = jnp.where(diffuse, alb_b / PI, 1.0 + (alb_b - 1.0) * metal)
+            par_pdf = jnp.where(diffuse, jnp.float32(1.0 / TWO_PI), 1.0)
 
-        # switch
+        # switch (absent classes contribute no selects)
         is_lam = mtype == matlib.LAMBERTIAN
-        is_met = mtype == matlib.METAL
-        is_die = mtype == matlib.DIELECTRIC
-        is_par = mtype == matlib.PARAMETERIZED
-        is_iso = mtype == matlib.ISOTROPIC
 
-        ndx = jnp.where(is_met, mexd, hx)
-        ndy = jnp.where(is_met, meyd, hy)
-        ndz = jnp.where(is_met, mezd, hz)
-        ndx = jnp.where(is_die, diex, ndx)
-        ndy = jnp.where(is_die, diey, ndy)
-        ndz = jnp.where(is_die, diez, ndz)
-        ndx = jnp.where(is_par, par_x, ndx)
-        ndy = jnp.where(is_par, par_y, ndy)
-        ndz = jnp.where(is_par, par_z, ndz)
-        ndx = jnp.where(is_iso, bx, ndx)
-        ndy = jnp.where(is_iso, by, ndy)
-        ndz = jnp.where(is_iso, bz, ndz)
+        ndx, ndy, ndz = hx, hy, hz
+        if has_met:
+            is_met = mtype == matlib.METAL
+            ndx = jnp.where(is_met, mexd, ndx)
+            ndy = jnp.where(is_met, meyd, ndy)
+            ndz = jnp.where(is_met, mezd, ndz)
+        if has_die:
+            is_die = mtype == matlib.DIELECTRIC
+            ndx = jnp.where(is_die, diex, ndx)
+            ndy = jnp.where(is_die, diey, ndy)
+            ndz = jnp.where(is_die, diez, ndz)
+        if has_par:
+            is_par = mtype == matlib.PARAMETERIZED
+            ndx = jnp.where(is_par, par_x, ndx)
+            ndy = jnp.where(is_par, par_y, ndy)
+            ndz = jnp.where(is_par, par_z, ndz)
+        if has_iso:
+            is_iso = mtype == matlib.ISOTROPIC
+            ndx = jnp.where(is_iso, bx, ndx)
+            ndy = jnp.where(is_iso, by, ndy)
+            ndz = jnp.where(is_iso, bz, ndz)
 
         inv_pi = jnp.float32(1.0 / PI)
         atr = jnp.where(is_lam, alb_r * inv_pi, alb_r)
         atg = jnp.where(is_lam, alb_g * inv_pi, alb_g)
         atb = jnp.where(is_lam, alb_b * inv_pi, alb_b)
-        atr = jnp.where(is_die, 1.0, atr)
-        atg = jnp.where(is_die, 1.0, atg)
-        atb = jnp.where(is_die, 1.0, atb)
-        atr = jnp.where(is_par, par_ar, atr)
-        atg = jnp.where(is_par, par_ag, atg)
-        atb = jnp.where(is_par, par_ab, atb)
+        if has_die:
+            atr = jnp.where(is_die, 1.0, atr)
+            atg = jnp.where(is_die, 1.0, atg)
+            atb = jnp.where(is_die, 1.0, atb)
+        if has_par:
+            atr = jnp.where(is_par, par_ar, atr)
+            atg = jnp.where(is_par, par_ag, atg)
+            atb = jnp.where(is_par, par_ab, atb)
 
         pdf = jnp.where(is_lam, jnp.float32(1.0 / TWO_PI), 1.0)
-        pdf = jnp.where(is_par, par_pdf, pdf)
+        if has_par:
+            pdf = jnp.where(is_par, par_pdf, pdf)
 
         # dot term (tracing.rs:313): |new_dir . n| clamped; 1 when
         # the normal is zero (volume scatter)
@@ -974,6 +993,7 @@ def path_trace_pallas(
         mesh_ranges=scene.kmesh_ranges,
         sl_ranges=scene.ksl_ranges,
         n_mat=int(scene.mat_type.shape[0]),
+        mat_present=scene.mat_types_present,
     )
     kernel = _make_kernel(
         counts, path_depth=path_depth, t_min=t_min, max_dist=max_trace_dist
@@ -1158,6 +1178,7 @@ def path_trace_wavefront(
         mesh_ranges=scene.kmesh_ranges,
         sl_ranges=scene.ksl_ranges,
         n_mat=int(scene.mat_type.shape[0]),
+        mat_present=scene.mat_types_present,
     )
     kernel = _make_step_kernel(counts, t_min=t_min, max_dist=max_trace_dist)
 
