@@ -8,8 +8,13 @@ additionally be chunked for memory control and checkpointed accumulation
 (SURVEY.md §5 checkpoint/resume — the reference loses a render killed at
 99%; we persist the running HDR accumulator).
 
-All chunking is invisible to the image: RNG is content-keyed, so any
-(pixel_chunk, spp_chunk, device count) produces bit-identical output.
+All chunking is invisible to the image: RNG is content-keyed, so the
+sample VALUES never depend on (pixel_chunk, spp_chunk, device count).
+Pixel chunking and device sharding are pure partitions — bit-identical
+output. spp chunking splits the per-pixel f32 sample sum into partial
+sums combined in f64, so a pixel sitting exactly on a u8 quantization
+boundary can round differently (measured: ≤1 u8 on ~1e-6 of subpixels
+at 512²x64spp; zero on smaller configs).
 """
 
 from __future__ import annotations
@@ -253,6 +258,59 @@ def render_to_image(
     all_pixel_ids = np.arange(n_px_total, dtype=np.int32)
     n_pixel_chunks = (n_px_total + pixel_chunk - 1) // pixel_chunk
 
+    # One-deep dispatch pipeline: chunk k+1 is enqueued (async jax
+    # dispatch) BEFORE chunk k's radiance is materialized to host, so
+    # the device computes the next chunk while the previous result
+    # crosses the device→host link — which dominates pure-analytic
+    # scenes on tunneled TPUs (BASELINE.md: Cornell 512² is ~0.1 s of
+    # device work inside ~0.55 s wall). A device error surfaces at
+    # materialization; the pending chunk's arguments ride along so the
+    # retry path (SURVEY §5 failure recovery) re-runs exactly that
+    # chunk, synchronously.
+    pending = None  # (rad_dev, segs_dev, ci, n_valid, args, t_disp, s0, s_count)
+    last_done = None  # completion time of the previous flush
+
+    def flush(p):
+        nonlocal first_chunk_done, total_segments, last_done
+        rad_dev, segs_dev, ci, n_valid, args, t0, ps0, ps_count = p
+        try:
+            rad_sum = np.asarray(jax.block_until_ready(rad_dev), np.float64)
+            segs = float(segs_dev)
+        except jax.errors.JaxRuntimeError:
+            rad_sum, segs = _run_chunk_with_retry(*args)
+            rad_sum = np.asarray(rad_sum, np.float64)
+            segs = float(segs)
+        now = time.perf_counter()
+        if not first_chunk_done:
+            stats.compile_seconds = now - t0
+            first_chunk_done = True
+        else:
+            # flush-to-flush delta: dispatch intervals overlap under the
+            # one-deep pipeline, so per-chunk (now - t0) would double
+            # count wall time
+            stats.steady_seconds += now - (last_done if last_done else t0)
+            stats.steady_segments += segs
+            stats.steady_primary += n_valid * ps_count * n_chains
+        last_done = now
+        total_segments += segs
+        accum[ci * pixel_chunk : ci * pixel_chunk + n_valid] += rad_sum[:n_valid]
+        if verbose:
+            # progress with elapsed/ETA (the reference's indicatif bar,
+            # tracing.rs:223-224)
+            done_frac = (
+                (ps0 - spp_done + ps_count) * (ci + 1) / n_pixel_chunks
+            ) / max(1, spp - spp_done)
+            done_frac = min(1.0, max(1e-9, done_frac))
+            elapsed = time.perf_counter() - t_start
+            eta = elapsed / done_frac - elapsed
+            print(
+                f"\r[render] spp {ps0 + ps_count}/{spp}, chunk "
+                f"{ci + 1}/{n_pixel_chunks} ({100 * done_frac:.0f}%, "
+                f"elapsed {elapsed:.1f}s, eta {eta:.1f}s)",
+                end="",
+                flush=True,
+            )
+
     for s0 in range(spp_done, spp, spp_chunk):
         s_count = min(spp_chunk, spp - s0)
         for ci in range(n_pixel_chunks):
@@ -262,8 +320,7 @@ def render_to_image(
                 ids = np.concatenate(
                     [ids, np.zeros(pixel_chunk - n_valid, np.int32)]
                 )
-            t0 = time.perf_counter()
-            rad_sum, segs = _run_chunk_with_retry(
+            args = (
                 scene_data,
                 cam,
                 jnp.asarray(ids),
@@ -272,39 +329,28 @@ def render_to_image(
                 s_count,
                 n_chains,
             )
-            rad_sum = np.asarray(rad_sum, np.float64)
-            if not first_chunk_done:
-                stats.compile_seconds = time.perf_counter() - t0
-                first_chunk_done = True
-            else:
-                stats.steady_seconds += time.perf_counter() - t0
-                stats.steady_segments += float(segs)
-                stats.steady_primary += n_valid * s_count * n_chains
-            total_segments += float(segs)
-            accum[ci * pixel_chunk : ci * pixel_chunk + n_valid] += rad_sum[:n_valid]
-            if verbose:
-                # progress with elapsed/ETA (the reference's indicatif bar,
-                # tracing.rs:223-224)
-                done_frac = (
-                    (s0 - spp_done + s_count) * (ci + 1) / n_pixel_chunks
-                ) / max(1, spp - spp_done)
-                done_frac = min(1.0, max(1e-9, done_frac))
-                elapsed = time.perf_counter() - t_start
-                eta = elapsed / done_frac - elapsed
-                print(
-                    f"\r[render] spp {s0 + s_count}/{spp}, chunk "
-                    f"{ci + 1}/{n_pixel_chunks} ({100 * done_frac:.0f}%, "
-                    f"elapsed {elapsed:.1f}s, eta {eta:.1f}s)",
-                    end="",
-                    flush=True,
-                )
+            t0 = time.perf_counter()
+            try:
+                rad_dev, segs_dev = render_chunk(*args)
+            except jax.errors.JaxRuntimeError:
+                rad_dev, segs_dev = _run_chunk_with_retry(*args)
+            if pending is not None:
+                flush(pending)
+            pending = (rad_dev, segs_dev, ci, n_valid, args, t0, s0, s_count)
         if checkpoint_path:
+            # the accumulator must be complete for this spp chunk before
+            # it is persisted
+            if pending is not None:
+                flush(pending)
+                pending = None
             np.savez(
                 checkpoint_path,
                 accum=accum,
                 spp_done=np.int64(s0 + s_count),
                 seed=np.int64(seed),
             )
+    if pending is not None:
+        flush(pending)
     if verbose:
         print()
 
