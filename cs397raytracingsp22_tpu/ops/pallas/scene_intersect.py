@@ -39,7 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 MT_EPSILON = 1e-4
 LANES = 128
-DEFAULT_BLOCK_ROWS = 16  # measured optimum on v5e (see bounce.py)
+DEFAULT_BLOCK_ROWS = 64  # re-measured 2026-08-17 on the drone scene:
+# 34.3 Mrays/s at 64 rows vs 6.3 at the old 16 (32: 32.7, 8: 22.8) —
+# the v4 packed carry halved live state, so bigger blocks pipeline far
+# better (same shift as bounce.py DEFAULT_BLOCK_ROWS)
 
 CODE_SPHERE = 0
 CODE_PLANE = 1
