@@ -147,7 +147,7 @@ def scene_is_simple(scene) -> bool:
 def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                   tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
                   mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
-                  primary=False):
+                  primary=False, exact_recip=False):
     """Build the single-bounce update used by both the full-loop kernel
     and the per-bounce wavefront step kernel. `site_u32` is the RNG draw
     site (SITE_BOUNCE0 + depth), scalar. `primary` marks a bounce whose
@@ -398,8 +398,11 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 # it only steers winner selection and the reject tests;
                 # the winner's t is re-derived exactly post-scan.
                 # RT_RECIP=0 restores exact division; =1 adds one
-                # Newton step (~1 ulp).
-                mode_r = _recip_mode()
+                # Newton step (~1 ulp). Interpret/CPU runs always divide
+                # exactly: interpret-mode pl.reciprocal(approx=True) is
+                # only ~2^-8 accurate (vs 2^-15.9 on v5e) — coarse enough
+                # to flip edge inside-tests and break CPU/TPU parity.
+                mode_r = "0" if exact_recip else _recip_mode()
                 if mode_r == "0":
                     t = num / den
                 elif mode_r == "1":
@@ -420,6 +423,11 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 # (|den|_bits - eps_bits) has the sign bit iff
                 # |den| < 1e-4. Not statistical noise: on small-triangle
                 # meshes (|e1×e2| ~ 1e-3) it fires on a few % of hits.
+                # Sign-bit edge semantics: a barycentric of exactly -0.0
+                # rejects here, where a `>= 0.0` test would accept. Only
+                # hits landing exactly on a triangle edge whose dots
+                # round to negative zero differ — within the documented
+                # edge-rounding tolerance (see module docstring).
                 rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - tmin_f))
                 rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
                 return t, rej
@@ -807,7 +815,7 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
     return bounce
 
-def _make_kernel(counts, *, path_depth, t_min, max_dist):
+def _make_kernel(counts, *, path_depth, t_min, max_dist, exact_recip=False):
     n_sph = counts["n_sph"]
     n_pln = counts["n_pln"]
     n_tri = counts["n_tri"]
@@ -852,8 +860,9 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist):
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
             mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
         )
-        bounce0 = _build_bounce(*common, primary=True)
-        bounce_n = _build_bounce(*common, primary=False)
+        bounce0 = _build_bounce(*common, primary=True, exact_recip=exact_recip)
+        bounce_n = _build_bounce(*common, primary=False,
+                                 exact_recip=exact_recip)
 
         # Unrolled: path_depth is static, and Mosaic cannot legalize an
         # scf.for with this carry structure (bool + 14 vectors). Unrolling
@@ -996,7 +1005,8 @@ def path_trace_pallas(
         mat_present=scene.mat_types_present,
     )
     kernel = _make_kernel(
-        counts, path_depth=path_depth, t_min=t_min, max_dist=max_trace_dist
+        counts, path_depth=path_depth, t_min=t_min, max_dist=max_trace_dist,
+        exact_recip=interpret,
     )
 
     ray_spec = pl.BlockSpec(
@@ -1030,7 +1040,7 @@ def path_trace_pallas(
     return radiance, segments
 
 
-def _make_step_kernel(counts, *, t_min, max_dist):
+def _make_step_kernel(counts, *, t_min, max_dist, exact_recip=False):
     """One bounce as its own kernel (wavefront mode): state planes in,
     state planes out. Each grid block skips all compute when none of its
     rays are alive — with dead rays compacted to the tail between bounces
@@ -1057,7 +1067,7 @@ def _make_step_kernel(counts, *, t_min, max_dist):
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
             mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
-            primary=True,
+            primary=True, exact_recip=exact_recip,
         )
 
         any_alive = jnp.sum(alive_i[:]) > 0
@@ -1180,7 +1190,9 @@ def path_trace_wavefront(
         n_mat=int(scene.mat_type.shape[0]),
         mat_present=scene.mat_types_present,
     )
-    kernel = _make_step_kernel(counts, t_min=t_min, max_dist=max_trace_dist)
+    kernel = _make_step_kernel(
+        counts, t_min=t_min, max_dist=max_trace_dist, exact_recip=interpret
+    )
 
     ray_spec = pl.BlockSpec(
         (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM

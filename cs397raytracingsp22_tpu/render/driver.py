@@ -349,6 +349,9 @@ def render_to_image(
                 spp_done=np.int64(s0 + s_count),
                 seed=np.int64(seed),
             )
+            # don't charge the checkpoint write (host I/O between spp
+            # chunks) to the next chunk's steady-state window
+            last_done = time.perf_counter()
     if pending is not None:
         flush(pending)
     if verbose:
