@@ -92,50 +92,21 @@ def render_to_image_sharded(
     mesh: Mesh,
     seed: int = 0,
     verbose: bool = True,
+    **kw,
 ):
     """Full sharded render: the multi-device render_to_image.
 
-    Pixels shard over "dp", samples over "sp"; the image is assembled on
-    the host. Bit-identical to the single-device driver (content-keyed
-    RNG). For multi-host (DCN-connected slices), initialize
-    jax.distributed first and pass a global mesh — each process
-    contributes its addressable devices; rendering needs no cross-host
-    traffic beyond the final gather.
+    A thin wrapper over render.driver.render_to_image(mesh=...) — the
+    SAME chunk loop, device-resident accumulation, checkpoint/resume,
+    retry, progress, and steady-state stats as the single-device driver.
+    Pixels shard over "dp", samples over "sp"; only the final u8 image
+    (and checkpoints, if enabled) cross to the host. Bit-identical to
+    the single-device driver (content-keyed RNG). For multi-host
+    (DCN-connected slices), initialize jax.distributed first and pass a
+    global mesh — each process contributes its addressable devices;
+    rendering needs no cross-host traffic beyond the final gather
+    (see parallel.multihost).
     """
-    import time
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
 
-    import numpy as np
-
-    from cs397raytracingsp22_tpu.ops import tonemap as tonemap_ops
-    from cs397raytracingsp22_tpu.render.driver import RenderStats
-    from cs397raytracingsp22_tpu.utils import threefry
-
-    cam = scene.camera
-    w, h = cam.screen_width, cam.screen_height
-    n_px = w * h
-    spp = cam.aa_sample_count
-    n_dp = mesh.shape["dp"]
-
-    data = scene.compile()
-    fn = make_sharded_render_chunk(mesh, cam, spp, max(1, cam.path_samples))
-
-    pad = (n_dp - n_px % n_dp) % n_dp
-    pixel_ids = jnp.arange(n_px + pad, dtype=jnp.int32) % n_px
-    key = threefry.key_words(seed)
-
-    t0 = time.perf_counter()
-    rad_sum, segs = fn(data, pixel_ids, key, jnp.int32(0))
-    rad_sum = np.asarray(jax.block_until_ready(rad_sum), np.float64)[:n_px]
-    wall = time.perf_counter() - t0
-
-    stats = RenderStats(
-        width=w, height=h, spp=spp, path_depth=cam.path_depth,
-        wall_seconds=wall, primary_rays=n_px * spp,
-        path_segments=float(segs),
-        device_count=mesh.devices.size,
-    )
-    mean = (rad_sum / spp).astype(np.float32).reshape(h, w, 3)
-    img = np.asarray(tonemap_ops.tonemap(jnp.asarray(mean), cam.gamma))
-    if verbose:
-        print("[render-sharded] " + stats.summary())
-    return img, stats
+    return render_to_image(scene, seed=seed, verbose=verbose, mesh=mesh, **kw)

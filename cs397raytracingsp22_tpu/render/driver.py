@@ -12,14 +12,26 @@ All chunking is invisible to the image: RNG is content-keyed, so the
 sample VALUES never depend on (pixel_chunk, spp_chunk, device count).
 Pixel chunking and device sharding are pure partitions — bit-identical
 output. spp chunking splits the per-pixel f32 sample sum into partial
-sums combined in f64, so a pixel sitting exactly on a u8 quantization
-boundary can round differently (measured: ≤1 u8 on ~1e-6 of subpixels
-at 512²x64spp; zero on smaller configs).
+sums, so a pixel sitting exactly on a u8 quantization boundary can round
+differently (measured: ≤1 u8 on ~1e-6 of subpixels at 512²x64spp; zero
+on smaller configs).
+
+The HDR accumulator is DEVICE-RESIDENT (f32 pieces, one per pixel
+chunk): chunk radiance is added on device and only the final tonemapped
+u8 image crosses the device→host link (plus the f64 accumulator at
+checkpoint writes). On this environment's tunneled TPU a 3 MB f32 pull
+costs ~120-270 ms while the 786 KB u8 image costs ~60 ms — per-chunk
+host flushes used to dominate wall time on analytic scenes
+(BASELINE.md: 0.45 s of the 0.55 s time-to-64spp was transfer).
+Failure recovery tracks a known-good snapshot of the accumulator
+pieces: if an async device error surfaces at a sync point, the chunks
+dispatched since the snapshot are re-run synchronously and re-added.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Optional
@@ -143,13 +155,29 @@ render_chunk = jax.jit(
 )
 
 
-def _run_chunk_with_retry(scene, cam, ids, key, s0, spp, n_chains, retries: int = 2):
+# Device-side accumulate: new buffer each call (no donation) so the
+# previous value stays valid — the retry path replays onto the last
+# known-good snapshot after an async device error.
+_accum_add = jax.jit(lambda a, b: a + b)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _finalize_image(pieces, n_px, spp, gamma):
+    """On-device epilogue: mean + channel-bleed + gamma + u8 quantize.
+    Only the quantized image crosses the device→host link (786 KB at
+    512² vs 3 MB f32). Module-level jit: cached across renders."""
+    mean = jnp.concatenate(pieces, axis=0)[:n_px] / jnp.float32(max(spp, 1))
+    return tonemap_ops.tonemap(mean, gamma)
+
+
+def _dispatch_with_retry(dispatch, args, retries: int = 2):
     """Failure detection + recovery (SURVEY.md §5): chunks are stateless,
     so a transient device error (preempted remote TPU, infra hiccup) is
-    recovered by simply re-running the chunk."""
+    recovered by simply re-running the chunk — synchronously, so the
+    result is validated before it re-enters the accumulator."""
     for attempt in range(retries + 1):
         try:
-            rad_sum, segs = render_chunk(scene, cam, ids, key, s0, spp, n_chains)
+            rad_sum, segs = dispatch(*args)
             return jax.block_until_ready(rad_sum), segs
         except jax.errors.JaxRuntimeError as e:
             if attempt == retries:
@@ -169,6 +197,8 @@ def render_to_image(
     checkpoint_path: Optional[str] = None,
     verbose: bool = True,
     scene_data: Optional[SceneData] = None,
+    mesh=None,
+    sync_every: int = 8,
 ) -> tuple[np.ndarray, RenderStats]:
     """Full render: returns ((H, W, 3) uint8 image, RenderStats).
 
@@ -179,6 +209,16 @@ def render_to_image(
     checkpoint_path: if set, the running HDR accumulator is persisted
     after every spp chunk and restored on restart, making long renders
     resumable and previewable.
+
+    mesh: a jax.sharding.Mesh with ("dp", "sp") axes → every chunk runs
+    the shard_map'ed renderer (parallel.sharding) over it; pixels shard
+    across "dp", samples across "sp". Same chunk loop, checkpointing,
+    retry, and progress as single-device — and bit-identical output
+    (content-keyed RNG; tested on the 8-virtual-device CPU mesh).
+
+    sync_every: pixel chunks dispatched between device sync points
+    (error detection + progress). Between syncs, dispatch is fully
+    async — nothing crosses the device→host link.
     """
     cam = scene.camera
     w, h = cam.screen_width, cam.screen_height
@@ -229,16 +269,85 @@ def render_to_image(
     spp_chunk = min(spp_chunk, spp)
 
     rng_key = threefry.key_words(seed)
+    multiproc = jax.process_count() > 1
+
+    if mesh is not None:
+        from cs397raytracingsp22_tpu.parallel import sharding as _sharding
+
+        n_dp = int(mesh.shape["dp"])
+        n_sp = int(mesh.shape["sp"])
+        # chunk shapes must tile the mesh axes
+        pixel_chunk = max(n_dp, pixel_chunk - pixel_chunk % n_dp)
+        if spp_chunk % n_sp:
+            spp_chunk = min(spp, spp_chunk + (n_sp - spp_chunk % n_sp))
+        assert spp % n_sp == 0, (
+            f"spp {spp} not divisible by the mesh's sp axis {n_sp}"
+        )
+        if multiproc:
+            # multi-host: jit over a global mesh requires global arrays —
+            # replicate the (identical-everywhere) scene + key once, and
+            # shard each chunk's pixel ids over "dp" so every process
+            # donates only its addressable slice
+            from cs397raytracingsp22_tpu.parallel import multihost as _mh
+
+            scene_data = _mh.replicate_to_global(mesh, scene_data)
+            rng_key = _mh.replicate_to_global(mesh, rng_key)
+        _sharded_fns: dict = {}
+
+        def _dispatch(ids_dev, s0_dev, s_count):
+            fn = _sharded_fns.get(s_count)
+            if fn is None:
+                fn = _sharding.make_sharded_render_chunk(
+                    mesh, cam, s_count, n_chains
+                )
+                _sharded_fns[s_count] = fn
+            return fn(scene_data, ids_dev, rng_key, s0_dev)
+
+        if multiproc:
+            from jax.sharding import PartitionSpec as _P
+
+            def _make_args(ids, s0):
+                return (
+                    _mh.shard_to_global(mesh, ids, _P("dp")),
+                    _mh.replicate_to_global(mesh, jnp.int32(s0)),
+                )
+
+        else:
+
+            def _make_args(ids, s0):
+                return (jnp.asarray(ids), jnp.int32(s0))
+
+    else:
+
+        def _dispatch(ids_dev, s0_dev, s_count):
+            # module-global lookup (not captured) so tests can
+            # monkeypatch render_chunk for failure injection
+            return render_chunk(
+                scene_data, cam, ids_dev, rng_key, s0_dev, s_count, n_chains
+            )
+
+        def _make_args(ids, s0):
+            return (jnp.asarray(ids), jnp.int32(s0))
+
+    def _pull(x, dtype=None):
+        """Device→host; gathers non-addressable shards on multi-host."""
+        if multiproc:
+            from cs397raytracingsp22_tpu.parallel import multihost as _mh
+
+            a = _mh.gather_to_host(x)
+        else:
+            a = np.asarray(x)
+        return a.astype(dtype) if dtype is not None else a
 
     if checkpoint_path and not checkpoint_path.endswith(".npz"):
         checkpoint_path = checkpoint_path + ".npz"
 
-    accum = np.zeros((n_px_total, 3), np.float64)
     spp_done = 0
+    resume_accum = None
     if checkpoint_path and os.path.exists(checkpoint_path):
         ckpt = np.load(checkpoint_path, allow_pickle=False)
-        if ckpt["accum"].shape == accum.shape and int(ckpt["seed"]) == seed:
-            accum = ckpt["accum"].astype(np.float64)
+        if ckpt["accum"].shape == (n_px_total, 3) and int(ckpt["seed"]) == seed:
+            resume_accum = ckpt["accum"].astype(np.float32)
             spp_done = int(ckpt["spp_done"])
             if verbose:
                 print(f"[render] resuming from {checkpoint_path} at {spp_done} spp")
@@ -248,65 +357,102 @@ def render_to_image(
         height=h,
         spp=spp,
         path_depth=cam.path_depth,
-        device_count=1,
+        device_count=int(mesh.devices.size) if mesh is not None else 1,
     )
-
-    t_start = time.perf_counter()
-    first_chunk_done = False
-    total_segments = 0.0
 
     all_pixel_ids = np.arange(n_px_total, dtype=np.int32)
     n_pixel_chunks = (n_px_total + pixel_chunk - 1) // pixel_chunk
 
-    # One-deep dispatch pipeline: chunk k+1 is enqueued (async jax
-    # dispatch) BEFORE chunk k's radiance is materialized to host, so
-    # the device computes the next chunk while the previous result
-    # crosses the device→host link — which dominates pure-analytic
-    # scenes on tunneled TPUs (BASELINE.md: Cornell 512² is ~0.1 s of
-    # device work inside ~0.55 s wall). A device error surfaces at
-    # materialization; the pending chunk's arguments ride along so the
-    # retry path (SURVEY §5 failure recovery) re-runs exactly that
-    # chunk, synchronously.
-    pending = None  # (rad_dev, segs_dev, ci, n_valid, args, t_disp, s0, s_count)
-    last_done = None  # completion time of the previous flush
+    # Device-resident accumulator: one (pixel_chunk, 3) f32 piece per
+    # pixel chunk. The last piece carries padding rows (duplicate pixel
+    # 0) that the finalize slice drops. Chunk dispatch + accumulation is
+    # fully async; sync() is the only place the host waits.
+    pieces: list = [None] * n_pixel_chunks
+    if resume_accum is not None:
+        for ci in range(n_pixel_chunks):
+            part = resume_accum[ci * pixel_chunk : (ci + 1) * pixel_chunk]
+            if part.shape[0] < pixel_chunk:
+                part = np.concatenate(
+                    [part, np.zeros((pixel_chunk - part.shape[0], 3), np.float32)]
+                )
+            if mesh is not None and multiproc:
+                from jax.sharding import PartitionSpec as _PP
 
-    def flush(p):
-        nonlocal first_chunk_done, total_segments, last_done
-        rad_dev, segs_dev, ci, n_valid, args, t0, ps0, ps_count = p
+                from cs397raytracingsp22_tpu.parallel import multihost as _mh2
+
+                pieces[ci] = _mh2.shard_to_global(mesh, part, _PP("dp"))
+            else:
+                pieces[ci] = jnp.asarray(part)
+
+    t_start = time.perf_counter()
+    first_chunk_done = False
+    seg_total = None  # device f32 scalar, chained adds
+    # known-good snapshot for async-failure replay
+    good_pieces = list(pieces)
+    seg_good = None
+    pending: list = []  # (ci, args) dispatched since the last sync
+    since_sync = 0
+    last_sync = None
+    window_primary = 0
+    seg_at_last = 0.0
+    chunks_done = 0
+    n_spp_chunks = max(1, -(-(spp - spp_done) // spp_chunk))
+    total_chunks = n_spp_chunks * n_pixel_chunks
+
+    def sync():
+        """Wait for everything dispatched so far; on an async device
+        error, replay the chunks since the last known-good snapshot
+        synchronously (SURVEY §5 failure recovery)."""
+        nonlocal pieces, good_pieces, seg_total, seg_good, pending
+        nonlocal since_sync, first_chunk_done, last_sync
+        nonlocal window_primary, seg_at_last
+        if not pending:
+            return
         try:
-            rad_sum = np.asarray(jax.block_until_ready(rad_dev), np.float64)
-            segs = float(segs_dev)
+            wait = [pieces[ci] for ci, _ in pending]
+            if seg_total is not None:
+                wait.append(seg_total)
+            jax.block_until_ready(wait)
         except jax.errors.JaxRuntimeError:
-            rad_sum, segs = _run_chunk_with_retry(*args)
-            rad_sum = np.asarray(rad_sum, np.float64)
-            segs = float(segs)
+            pieces = list(good_pieces)
+            seg_total = seg_good
+            for ci, args in pending:
+                rad, segs = _dispatch_with_retry(_dispatch, args)
+                pieces[ci] = (
+                    rad if pieces[ci] is None else _accum_add(pieces[ci], rad)
+                )
+                seg_total = (
+                    segs if seg_total is None else _accum_add(seg_total, segs)
+                )
+            jax.block_until_ready([p for p in pieces if p is not None])
         now = time.perf_counter()
+        segs_now = float(seg_total) if seg_total is not None else 0.0
         if not first_chunk_done:
-            stats.compile_seconds = now - t0
+            stats.compile_seconds = now - t_start
             first_chunk_done = True
         else:
-            # flush-to-flush delta: dispatch intervals overlap under the
-            # one-deep pipeline, so per-chunk (now - t0) would double
-            # count wall time
-            stats.steady_seconds += now - (last_done if last_done else t0)
-            stats.steady_segments += segs
-            stats.steady_primary += n_valid * ps_count * n_chains
-        last_done = now
-        total_segments += segs
-        accum[ci * pixel_chunk : ci * pixel_chunk + n_valid] += rad_sum[:n_valid]
+            # sync-to-sync deltas: dispatches overlap, so per-chunk
+            # timing would double-count wall time
+            stats.steady_seconds += now - last_sync
+            stats.steady_segments += segs_now - seg_at_last
+            stats.steady_primary += window_primary
+        last_sync = now
+        seg_at_last = segs_now
+        window_primary = 0
+        good_pieces = list(pieces)
+        seg_good = seg_total
+        pending = []
+        since_sync = 0
         if verbose:
             # progress with elapsed/ETA (the reference's indicatif bar,
             # tracing.rs:223-224)
-            done_frac = (
-                (ps0 - spp_done + ps_count) * (ci + 1) / n_pixel_chunks
-            ) / max(1, spp - spp_done)
-            done_frac = min(1.0, max(1e-9, done_frac))
-            elapsed = time.perf_counter() - t_start
+            done_frac = min(1.0, max(1e-9, chunks_done / total_chunks))
+            elapsed = now - t_start
             eta = elapsed / done_frac - elapsed
             print(
-                f"\r[render] spp {ps0 + ps_count}/{spp}, chunk "
-                f"{ci + 1}/{n_pixel_chunks} ({100 * done_frac:.0f}%, "
-                f"elapsed {elapsed:.1f}s, eta {eta:.1f}s)",
+                f"\r[render] chunk {chunks_done}/{total_chunks} "
+                f"({100 * done_frac:.0f}%, elapsed {elapsed:.1f}s, "
+                f"eta {eta:.1f}s)",
                 end="",
                 flush=True,
             )
@@ -320,49 +466,53 @@ def render_to_image(
                 ids = np.concatenate(
                     [ids, np.zeros(pixel_chunk - n_valid, np.int32)]
                 )
-            args = (
-                scene_data,
-                cam,
-                jnp.asarray(ids),
-                rng_key,
-                jnp.int32(s0),
-                s_count,
-                n_chains,
-            )
-            t0 = time.perf_counter()
+            args = (*_make_args(ids, s0), s_count)
             try:
-                rad_dev, segs_dev = render_chunk(*args)
+                rad, segs = _dispatch(*args)
             except jax.errors.JaxRuntimeError:
-                rad_dev, segs_dev = _run_chunk_with_retry(*args)
-            if pending is not None:
-                flush(pending)
-            pending = (rad_dev, segs_dev, ci, n_valid, args, t0, s0, s_count)
+                rad, segs = _dispatch_with_retry(_dispatch, args)
+            pieces[ci] = (
+                rad if pieces[ci] is None else _accum_add(pieces[ci], rad)
+            )
+            seg_total = (
+                segs if seg_total is None else _accum_add(seg_total, segs)
+            )
+            pending.append((ci, args))
+            window_primary += n_valid * s_count * n_chains
+            since_sync += 1
+            chunks_done += 1
+            if not first_chunk_done or since_sync >= sync_every:
+                sync()
         if checkpoint_path:
             # the accumulator must be complete for this spp chunk before
-            # it is persisted
-            if pending is not None:
-                flush(pending)
-                pending = None
-            np.savez(
-                checkpoint_path,
-                accum=accum,
-                spp_done=np.int64(s0 + s_count),
-                seed=np.int64(seed),
-            )
-            # don't charge the checkpoint write (host I/O between spp
-            # chunks) to the next chunk's steady-state window
-            last_done = time.perf_counter()
-    if pending is not None:
-        flush(pending)
+            # it is persisted (one f64 host pull per checkpoint)
+            sync()
+            host = np.concatenate(
+                [_pull(p, np.float64) for p in pieces]
+            )[:n_px_total]
+            if jax.process_index() == 0:
+                np.savez(
+                    checkpoint_path,
+                    accum=host,
+                    spp_done=np.int64(s0 + s_count),
+                    seed=np.int64(seed),
+                )
+            # don't charge the checkpoint pull+write (host I/O between
+            # spp chunks) to the next chunk's steady-state window
+            last_sync = time.perf_counter()
+    sync()
     if verbose:
         print()
 
-    stats.wall_seconds = time.perf_counter() - t_start
     stats.primary_rays = n_px_total * (spp - spp_done) * n_chains
-    stats.path_segments = total_segments
+    stats.path_segments = (
+        float(seg_total) if seg_total is not None else 0.0
+    )
 
-    mean = (accum / max(spp, 1)).astype(np.float32).reshape(h, w, 3)
-    img = np.asarray(tonemap_ops.tonemap(jnp.asarray(mean), cam.gamma))
+    img = _pull(
+        _finalize_image(tuple(pieces), n_px_total, spp, cam.gamma)
+    ).reshape(h, w, 3)
+    stats.wall_seconds = time.perf_counter() - t_start
     if verbose:
         print("[render] " + stats.summary())
     return img, stats
