@@ -55,14 +55,21 @@ class ConvexVolume:
     """Homogeneous participating medium inside a convex boundary
     (geometry.rs:495-530).
 
-    The compiled device path supports Sphere boundaries (the only kind the
-    reference scene uses); the boundary's own material is ignored, exactly
-    like the reference (only entry/exit distances are used). Scatter
-    distance is sampled as -ln(U)/density per ray per bounce; hits carry a
-    zero normal which the integrator special-cases (tracing.rs:313).
+    The boundary may be any convex `Intersectable`-equivalent, matching
+    the reference's `Arc<dyn Intersectable>` field: Sphere (the demo
+    scene's only kind — fast analytic entry/exit in every kernel tier),
+    Triangle, or a convex StaticMesh (entry/exit found by scanning the
+    boundary triangles, like the reference's two nearest-hit boundary
+    queries at geometry.rs:505-510). The boundary's own material is
+    ignored, exactly like the reference (only entry/exit distances are
+    used). Scatter distance is sampled as -ln(U)/density per ray per
+    bounce; hits carry a zero normal which the integrator special-cases
+    (tracing.rs:313). Non-convex boundaries are accepted silently but
+    give the same nearest-entry/next-exit behavior as the reference
+    (which also never checks convexity).
     """
 
-    boundary: Sphere
+    boundary: object  # Sphere | Triangle | StaticMesh
     phase_function: Material
     density: float
 

@@ -110,6 +110,9 @@ _SCENE_DATA_FIELDS = [
     "vol_radius",
     "vol_density",
     "vol_mat",
+    "gvol_tri",
+    "gvol_density",
+    "gvol_mat",
     "meshes",
     "tex_pixels",
     "tex_offset",
@@ -145,6 +148,7 @@ _SCENE_DATA_FIELDS = [
         "ksl_ranges",
         "dense_mesh_ids",
         "mat_types_present",
+        "n_gvols",
     ],
 )
 @dataclasses.dataclass
@@ -175,11 +179,19 @@ class SceneData:
     tri_b: jnp.ndarray
     tri_c: jnp.ndarray
     tri_mat: jnp.ndarray
-    # convex volumes (sphere boundaries)
+    # convex volumes (sphere boundaries — the fast path every kernel
+    # tier supports)
     vol_center: jnp.ndarray
     vol_radius: jnp.ndarray
     vol_density: jnp.ndarray
     vol_mat: jnp.ndarray
+    # general convex volumes (Triangle / convex-StaticMesh boundaries,
+    # geometry.rs:495-530 `Arc<dyn Intersectable>`): per-volume
+    # world-space triangle tables (T, 9) = [a, e1, e2]; entry/exit by
+    # nearest-hit scan (ops/intersect.intersect_general_volumes)
+    gvol_tri: Tuple[jnp.ndarray, ...]
+    gvol_density: jnp.ndarray
+    gvol_mat: jnp.ndarray
     # meshes
     meshes: Tuple[MeshBlock, ...]
     # texture atlas
@@ -223,6 +235,7 @@ class SceneData:
     # static set of material TYPE enums occurring in the scene: kernels
     # compile out the masked-switch branches of absent classes
     mat_types_present: Tuple[int, ...] = (0, 1, 2, 3, 4)
+    n_gvols: int = 0
 
 
 @dataclasses.dataclass
@@ -236,6 +249,39 @@ class Scene:
 
     def compile(self, leaf_size: int = 4) -> SceneData:
         return compile_scene(self, leaf_size=leaf_size)
+
+
+def _boundary_tri_table(boundary) -> np.ndarray:
+    """Lower a non-sphere ConvexVolume boundary to a world-space
+    (T, 9) = [a, e1, e2] triangle table for the entry/exit scan.
+
+    Supported: Triangle (one row) and StaticMesh (all triangles,
+    transformed to world space — the reference intersects the boundary
+    through its normal `intersect_ray`, geometry.rs:505-510, and the
+    unnormalized-direction transform makes mesh t world-comparable, so
+    pre-transforming vertices yields the same t values directly)."""
+    from cs397raytracingsp22_tpu.models.geometry import StaticMesh, Triangle
+
+    if isinstance(boundary, Triangle):
+        a = np.asarray(boundary.a, np.float32)
+        rows = np.concatenate(
+            [a, np.asarray(boundary.b, np.float32) - a,
+             np.asarray(boundary.c, np.float32) - a]
+        ).reshape(1, 9)
+        return rows
+    if isinstance(boundary, StaticMesh):
+        pos = boundary.mesh.positions.astype(np.float64)
+        m = np.asarray(boundary.transform, np.float64)
+        pos_w = pos @ m[:3, :3].T + m[:3, 3]
+        tri = pos_w[boundary.mesh.indices]  # (T, 3, 3)
+        a = tri[:, 0]
+        return np.concatenate(
+            [a, tri[:, 1] - a, tri[:, 2] - a], axis=1
+        ).astype(np.float32)
+    raise TypeError(
+        f"unsupported ConvexVolume boundary {type(boundary)!r} "
+        "(Sphere, Triangle, and StaticMesh are supported)"
+    )
 
 
 def _pad_rows(arr: np.ndarray, min_rows: int, fill: float) -> np.ndarray:
@@ -254,6 +300,7 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
     pln_point, pln_normal, pln_mat = [], [], []
     tri_a, tri_b, tri_c, tri_mat = [], [], [], []
     vol_center, vol_radius, vol_density, vol_mat = [], [], [], []
+    gvol_tris, gvol_density, gvol_mat = [], [], []
     mesh_blocks: list[MeshBlock] = []
 
     for obj in scene.objects:
@@ -271,15 +318,19 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
             tri_c.append(obj.c)
             tri_mat.append(mats.add(obj.material))
         elif isinstance(obj, ConvexVolume):
-            if not isinstance(obj.boundary, Sphere):
-                raise TypeError(
-                    "compiled ConvexVolume supports Sphere boundaries "
-                    "(the only kind the reference scene uses)"
-                )
-            vol_center.append(obj.boundary.center)
-            vol_radius.append(obj.boundary.radius)
-            vol_density.append(obj.density)
-            vol_mat.append(mats.add(obj.phase_function))
+            if isinstance(obj.boundary, Sphere):
+                # fast path: analytic entry/exit in every kernel tier
+                vol_center.append(obj.boundary.center)
+                vol_radius.append(obj.boundary.radius)
+                vol_density.append(obj.density)
+                vol_mat.append(mats.add(obj.phase_function))
+            else:
+                # general boundary (geometry.rs:495 `Arc<dyn Intersectable>`):
+                # lower to a world-space triangle table scanned for
+                # entry/exit (intersect_general_volumes)
+                gvol_tris.append(_boundary_tri_table(obj.boundary))
+                gvol_density.append(obj.density)
+                gvol_mat.append(mats.add(obj.phase_function))
         elif isinstance(obj, StaticMesh):
             mesh_blocks.append(_compile_mesh(obj, mats, atlas, leaf_size))
         else:
@@ -427,6 +478,9 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         vol_radius=f32(vol_radius, None, 0.0),
         vol_density=f32(vol_density, None, 1.0),
         vol_mat=i32(vol_mat),
+        gvol_tri=tuple(jnp.asarray(t) for t in gvol_tris),
+        gvol_density=f32(gvol_density, None, 1.0),
+        gvol_mat=i32(gvol_mat),
         meshes=tuple(mesh_blocks),
         tex_pixels=jnp.asarray(packed.pixels),
         tex_offset=jnp.asarray(packed.offset),
@@ -454,6 +508,7 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         ksl_ranges=tuple(sl_ranges),
         dense_mesh_ids=dense_ids,
         mat_types_present=tuple(sorted({int(t) for t in table["mat_type"]})),
+        n_gvols=len(gvol_tris),
     )
 
 

@@ -204,6 +204,44 @@ def intersect_volumes(scene: SceneData, o, d, t_min, t_max, u_vol):
     return t_m[n_idx, idx], idx, valid[n_idx, idx]
 
 
+def intersect_general_volume(
+    tri_table: jnp.ndarray, density, o, d, t_min, t_max, u
+):
+    """One general-boundary ConvexVolume (geometry.rs:502-525 with a
+    non-sphere `boundary`): two nearest-hit boundary queries — entry over
+    (-inf, +inf) (the reference's `f32::MIN..f32::MAX`, geometry.rs:505),
+    exit over (t_entr + 1e-4, +inf) — by scanning the boundary's triangle
+    table, then the same free-flight sampling as the sphere path.
+
+    tri_table: (T, 9) world-space [a, e1, e2] rows.
+    Returns (t, valid), both (N,).
+    """
+    t_min = jnp.asarray(t_min, jnp.float32)
+    t_max = jnp.asarray(t_max, jnp.float32)
+    a = tri_table[:, 0:3]
+    b = a + tri_table[:, 3:6]
+    c = a + tri_table[:, 6:9]
+    ok, t, _, _ = bvhlib.moller_trumbore(
+        o[:, None, :], d[:, None, :], a, b, c, -_BIG, _BIG
+    )
+    t_all = jnp.where(ok, t, _BIG)
+    t_entr = jnp.min(t_all, axis=1)
+    entered = jnp.any(ok, axis=1)
+    # exit: nearest boundary hit at least 1e-4 past the entry
+    # (geometry.rs:508 `t_entr+0.0001`)
+    t_all2 = jnp.where(t_all >= t_entr[:, None] + 1e-4, t_all, _BIG)
+    t_exit = jnp.min(t_all2, axis=1)
+    exited = jnp.isfinite(t_exit)
+    in_range = (t_exit >= t_min) & (t_entr <= t_max)
+    t_start = jnp.maximum(t_entr, t_min)
+    t_end = jnp.minimum(t_exit, t_max)
+    dist_before_scatter = (-1.0 / density) * jnp.log(jnp.maximum(u, 1e-38))
+    valid = entered & exited & in_range & (
+        dist_before_scatter < t_end - t_start
+    )
+    return t_start + dist_before_scatter, valid
+
+
 def _transform_point(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """(4,4) @ (N,3) homogeneous point transform (exact VPU arithmetic —
     see vecmath.apply_mat3 for why not a matmul)."""
@@ -439,8 +477,11 @@ def intersect_scene_jnp(
         )
     )
 
-    # --- convex volumes ---
-    t_v, i_v, v_v = intersect_volumes(scene, o, d, t_min, t_max, u_vol)
+    # --- convex volumes (sphere boundaries) ---
+    n_vcols = scene.vol_center.shape[0]
+    t_v, i_v, v_v = intersect_volumes(
+        scene, o, d, t_min, t_max, u_vol[:, :n_vcols]
+    )
     candidates.append(
         dict(
             valid=v_v,
@@ -451,6 +492,25 @@ def intersect_scene_jnp(
             **_gather_material(scene, scene.vol_mat[i_v]),
         )
     )
+
+    # --- general-boundary convex volumes (static unroll, few per scene) ---
+    for g in range(scene.n_gvols):
+        t_g, v_g = intersect_general_volume(
+            scene.gvol_tri[g], scene.gvol_density[g], o, d, t_min, t_max,
+            u_vol[:, n_vcols + g],
+        )
+        candidates.append(
+            dict(
+                valid=v_g,
+                t=jnp.where(v_g, t_g, _BIG),
+                point=o + t_g[:, None] * d,
+                normal=jnp.zeros((n, 3), jnp.float32),
+                frontface=jnp.zeros((n,), bool),
+                **_gather_material(
+                    scene, jnp.full((n,), scene.gvol_mat[g], jnp.int32)
+                ),
+            )
+        )
 
     # --- meshes (static unroll; each traverses its own BVH) ---
     for mesh in scene.meshes:
@@ -509,7 +569,7 @@ def intersect_scene_fused(
 
     n = o.shape[0]
     t, code, idx, mat_id, u, v, normal, ff = scene_intersect_pallas(
-        scene, o, d, t_min, t_max, u_vol
+        scene, o, d, t_min, t_max, u_vol[:, : scene.vol_center.shape[0]]
     )
     valid = code >= 0
 
@@ -570,6 +630,26 @@ def intersect_scene_fused(
         idx = jnp.where(better, tri_m, idx)
         u = jnp.where(better, u_m, u)
         v = jnp.where(better, v_m, v)
+        valid = valid | better
+
+    # General-boundary volumes (rare; jnp merge like big meshes). A gvol
+    # winner takes a large code so no mesh-resolve mask matches it; its
+    # material flows through mat_id, normal is zero, frontface false
+    # (geometry.rs:520 "normal and front_face are arbitrary" — zero
+    # normal is what the integrator special-cases).
+    CODE_GVOL0 = 1 << 20
+    n_vcols = scene.vol_center.shape[0]
+    for g in range(scene.n_gvols):
+        t_g, v_g = intersect_general_volume(
+            scene.gvol_tri[g], scene.gvol_density[g], o, d, t_min, t_max,
+            u_vol[:, n_vcols + g],
+        )
+        better = v_g & (t_g < jnp.where(valid, t, _BIG))
+        t = jnp.where(better, t_g, t)
+        code = jnp.where(better, CODE_GVOL0 + g, code)
+        mat_id = jnp.where(better, scene.gvol_mat[g], mat_id)
+        normal = jnp.where(better[:, None], 0.0, normal)
+        ff = jnp.where(better, False, ff)
         valid = valid | better
 
     # Analytic winners: world point + material row.

@@ -134,8 +134,12 @@ def _uniforms(k0, k1, uid_u32, site_u32, m):
 
 def scene_is_simple(scene) -> bool:
     """True when the mega-bounce kernel can run this scene: all meshes
-    dense, explicitly-materialed, and not normal-mapped."""
+    dense, explicitly-materialed, not normal-mapped, and every
+    ConvexVolume sphere-bounded (general boundaries run the staged
+    pipeline's entry/exit scan)."""
     if len(scene.dense_mesh_ids) != len(scene.meshes):
+        return False
+    if scene.n_gvols:
         return False
     for m in scene.meshes:
         if m.mat_id < 0 or m.tex_ids[4] >= 0:

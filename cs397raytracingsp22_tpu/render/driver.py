@@ -245,6 +245,7 @@ def render_to_image(
             + scene_data.n_planes
             + scene_data.n_tris
             + scene_data.n_volumes
+            + sum(int(g.shape[0]) for g in scene_data.gvol_tri)
             + sum(int(m.tri_verts.shape[0]) for m in scene_data.meshes)
         )
         work_per_px = per_px_rays * max(1, cam.path_depth) * max(16, prim_tests)

@@ -47,9 +47,14 @@ def background_color(d: jnp.ndarray) -> jnp.ndarray:
 def _bounce_draws(scene: SceneData, rng_key, uids: jnp.ndarray, site):
     """Per-ray draws for one bounce: ball vector, branch uniform, volume
     uniforms — all from the counter RNG (utils/threefry.py), identical to
-    what the Pallas mega-kernel computes in-register."""
+    what the Pallas mega-kernel computes in-register. Sphere-boundary
+    volumes use draw slots 4..4+V, general-boundary volumes the G slots
+    after (the counter RNG makes each slot independent, so adding gvol
+    draws never shifts the sphere-vol draws)."""
     n_vol = scene.vol_center.shape[0]
-    u = threefry.counter_uniforms(rng_key, uids, site, 4 + n_vol)
+    u = threefry.counter_uniforms(
+        rng_key, uids, site, 4 + n_vol + scene.n_gvols
+    )
     ball = sampling.ball_vec_from_uniform(u[:, 0:3])
     return ball, u[:, 3], u[:, 4:]
 
