@@ -32,8 +32,13 @@ MT_EPSILON = 1e-4  # Möller–Trumbore parallel-ray epsilon (geometry.rs:335)
 
 # Meshes at or below this many triangles take the dense all-triangles
 # path (VPU scan — the fused Pallas kernel on TPU); larger meshes use
-# threaded-BVH traversal. Shared by the scene compiler and intersect ops.
-DENSE_MESH_MAX_TRIS = 2048
+# threaded-BVH traversal (CPU) / the SMEM-piece scan (TPU). Shared by
+# the scene compiler and intersect ops. RT_DENSE_MAX_TRIS overrides for
+# crossover measurement (tools/bench_teapot_6k.py) — read at import, so
+# set it before importing the package.
+import os as _os
+
+DENSE_MESH_MAX_TRIS = int(_os.environ.get("RT_DENSE_MAX_TRIS", "2048"))
 
 
 @dataclasses.dataclass

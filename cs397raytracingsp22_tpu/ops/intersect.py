@@ -573,35 +573,50 @@ def intersect_scene_fused(
     )
     valid = code >= 0
 
+    # object-space rays per mesh, computed once and shared by the
+    # rederive, the big-mesh scans, and the merged resolve
+    obj_rays = {
+        mi: (
+            _transform_point(scene.meshes[mi].inv_transform, o),
+            _transform_vector(scene.meshes[mi].inv_transform, d),
+        )
+        for mi in range(len(scene.meshes))
+    }
+
     # Dense-mesh winners: the kernel's packed min-key scan reports only
     # (code, local row); re-derive exact t/u/v from the winner's
-    # Baldwin–Weber row (one gather + one true divide per dense mesh) so
-    # the scan's approx-reciprocal never reaches hit points
-    # (tri_scan_big.py wrapper contract).
-    for k, mi in enumerate(scene.dense_mesh_ids):
-        start, count = scene.kmesh_ranges[k]
-        mask = code == CODE_MESH0 + k
-        mesh = scene.meshes[mi]
-        o_obj = _transform_point(mesh.inv_transform, o)
-        d_obj = _transform_vector(mesh.inv_transform, d)
-        rows = jnp.take(
-            scene.kmesh_bw, start + jnp.clip(idx, 0, count - 1), axis=0
-        )
-        den = (rows[:, 0] * d_obj[:, 0] + rows[:, 1] * d_obj[:, 1]
-               + rows[:, 2] * d_obj[:, 2])
+    # Baldwin–Weber row so the scan's approx-reciprocal never reaches
+    # hit points (tri_scan_big.py wrapper contract). ONE merged gather
+    # across all dense meshes: winner rows are global kmesh_bw indices.
+    if scene.dense_mesh_ids:
+        any_dense = jnp.zeros((n,), bool)
+        g_row = jnp.zeros((n,), jnp.int32)
+        o_objw = jnp.zeros((n, 3), jnp.float32)
+        d_objw = jnp.ones((n, 3), jnp.float32)
+        for k, mi in enumerate(scene.dense_mesh_ids):
+            start, count = scene.kmesh_ranges[k]
+            mask = code == CODE_MESH0 + k
+            any_dense |= mask
+            g_row = jnp.where(mask, start + jnp.clip(idx, 0, count - 1), g_row)
+            o_obj, d_obj = obj_rays[mi]
+            o_objw = jnp.where(mask[:, None], o_obj, o_objw)
+            d_objw = jnp.where(mask[:, None], d_obj, d_objw)
+        rows = jnp.take(scene.kmesh_bw, g_row, axis=0)
+        den = (rows[:, 0] * d_objw[:, 0] + rows[:, 1] * d_objw[:, 1]
+               + rows[:, 2] * d_objw[:, 2])
         num = rows[:, 3] - (
-            rows[:, 0] * o_obj[:, 0] + rows[:, 1] * o_obj[:, 1]
-            + rows[:, 2] * o_obj[:, 2]
+            rows[:, 0] * o_objw[:, 0] + rows[:, 1] * o_objw[:, 1]
+            + rows[:, 2] * o_objw[:, 2]
         )
         t_ex = num / jnp.where(den == 0.0, 1.0, den)
-        p = o_obj + t_ex[:, None] * d_obj
+        p = o_objw + t_ex[:, None] * d_objw
         u_ex = (rows[:, 4] * p[:, 0] + rows[:, 5] * p[:, 1]
                 + rows[:, 6] * p[:, 2] + rows[:, 7])
         v_ex = (rows[:, 8] * p[:, 0] + rows[:, 9] * p[:, 1]
                 + rows[:, 10] * p[:, 2] + rows[:, 11])
-        t = jnp.where(mask, t_ex, t)
-        u = jnp.where(mask, u_ex, u)
-        v = jnp.where(mask, v_ex, v)
+        t = jnp.where(any_dense, t_ex, t)
+        u = jnp.where(any_dense, u_ex, u)
+        v = jnp.where(any_dense, v_ex, v)
 
     # Merge big (BVH-traversed) meshes; they get codes after the dense ones.
     n_dense = len(scene.dense_mesh_ids)
@@ -610,8 +625,7 @@ def intersect_scene_fused(
     ]
     for j, mi in enumerate(big_ids):
         mesh = scene.meshes[mi]
-        o_obj = _transform_point(mesh.inv_transform, o)
-        d_obj = _transform_vector(mesh.inv_transform, d)
+        o_obj, d_obj = obj_rays[mi]
         from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import (
             tri_scan_big_pallas,
         )
@@ -662,20 +676,215 @@ def intersect_scene_fused(
         **m,
     )
 
-    # Mesh winners: full shading resolve under a mask, one mesh at a time.
+    # Mesh winners: one MERGED shading resolve across every mesh — a
+    # single gather from a concatenated per-triangle table plus one
+    # atlas gather per texture slot, instead of per-mesh gather chains
+    # (XLA gathers are the staged pipeline's hottest op: measured
+    # 30 ms/262k rays per mesh for the per-mesh resolve on v5e).
     mesh_order = list(scene.dense_mesh_ids) + big_ids
-    for k, mi in enumerate(mesh_order):
-        mesh = scene.meshes[mi]
-        mask = code == CODE_MESH0 + k
-        o_obj = _transform_point(mesh.inv_transform, o)
-        d_obj = _transform_vector(mesh.inv_transform, d)
-        mf = resolve_mesh_hit(mesh, scene, o_obj, d_obj, t, idx, u, v)
-        for key in fields:
-            sel = mask[:, None] if fields[key].ndim > 1 else mask
-            fields[key] = jnp.where(sel, mf[key], fields[key])
+    if mesh_order:
+        fields = _resolve_mesh_winners_merged(
+            scene, mesh_order, obj_rays, code, t, idx, u, v, fields
+        )
 
     return HitRecord(
         valid=valid,
         t=jnp.where(valid, t, _BIG),
         **fields,
     )
+
+
+def _sample_texture_dyn(scene: SceneData, off, w, h, uv):
+    """sample_texture with PER-RAY atlas offset/size (texture.rs:26-32
+    semantics elementwise): used by the merged resolve where each ray's
+    winning mesh binds a different texture to the same slot."""
+    u = jnp.clip(uv[:, 0], 0.0, 0.999)
+    v = jnp.clip(uv[:, 1], 0.0, 0.999)
+    x = jnp.minimum((u * w).astype(jnp.int32), w - 1)
+    y = jnp.minimum(((1.0 - v) * h).astype(jnp.int32), h - 1)
+    return scene.tex_pixels[off + y * w + x].astype(jnp.float32) / 255.0
+
+
+def _resolve_mesh_winners_merged(
+    scene: SceneData, mesh_order, obj_rays, code, t, idx, u, v, fields
+):
+    """Shading resolve for ALL mesh winners at once (the fused-path
+    replacement for per-mesh resolve_mesh_hit — identical semantics,
+    asserted by tests/test_fused.py):
+
+    - ONE gather from a concatenated (ΣT, 18) table of [corner normals
+      (oct-decoded f32, identical values to every other path), corner
+      uvs, tangent];
+    - per-ray transform/normal-matrix/texture-binding obtained by cheap
+      masked selects over the (few) meshes;
+    - ONE atlas gather per texture slot present in any
+      texture-synthesized mesh;
+    - explicit materials via the winner's material row.
+    """
+    from cs397raytracingsp22_tpu.ops.pallas.scene_intersect import CODE_MESH0
+
+    n = code.shape[0]
+    meshes = [scene.meshes[mi] for mi in mesh_order]
+
+    # concatenated per-triangle resolve table (constant-folded per
+    # compiled scene, like bounce.build_bounce_tables)
+    tabs = []
+    offs = []
+    cursor = 0
+    for m in meshes:
+        nt = m.tri_normals.shape[0]
+        tabs.append(
+            jnp.concatenate(
+                [
+                    m.tri_normals.reshape(nt, 9),
+                    m.tri_uvs.reshape(nt, 6),
+                    m.tri_tangent,
+                ],
+                axis=1,
+            )
+        )
+        offs.append(cursor)
+        cursor += nt
+    table = jnp.concatenate(tabs, axis=0)
+
+    masks = []
+    any_mesh = jnp.zeros((n,), bool)
+    res_row = jnp.zeros((n,), jnp.int32)
+    o_objw = jnp.zeros((n, 3), jnp.float32)
+    d_objw = jnp.ones((n, 3), jnp.float32)
+
+    def sel_rows(values, width):
+        """Per-ray select of a per-mesh (small, possibly traced) row."""
+        out = jnp.zeros((n, width), jnp.float32)
+        for mask, row in zip(masks, values):
+            out = jnp.where(
+                mask[:, None], jnp.asarray(row, jnp.float32)[None, :], out
+            )
+        return out
+
+    for k, mi in enumerate(mesh_order):
+        m = scene.meshes[mi]
+        mask = code == CODE_MESH0 + k
+        masks.append(mask)
+        any_mesh |= mask
+        nt = m.tri_normals.shape[0]
+        res_row = jnp.where(
+            mask, offs[k] + jnp.clip(idx, 0, nt - 1), res_row
+        )
+        o_obj, d_obj = obj_rays[mi]
+        o_objw = jnp.where(mask[:, None], o_obj, o_objw)
+        d_objw = jnp.where(mask[:, None], d_obj, d_objw)
+
+    rows = jnp.take(table, res_row, axis=0)  # THE gather
+    nabc = rows[:, 0:9].reshape(n, 3, 3)
+    uvabc = rows[:, 9:15].reshape(n, 3, 2)
+    tan_approx = rows[:, 15:18]
+
+    w_bar = 1.0 - u - v
+    # smooth normal (geometry.rs:350-351) + frontface in object space
+    n_smooth = vm.normalize(
+        u[:, None] * nabc[:, 1] + v[:, None] * nabc[:, 2]
+        + w_bar[:, None] * nabc[:, 0],
+        eps=1e-30,
+    )
+    frontface = jnp.sum(n_smooth * d_objw, axis=-1) < 0.0
+    n_flip = jnp.where(frontface[:, None], n_smooth, -n_smooth)
+    uv = (
+        u[:, None] * uvabc[:, 1] + v[:, None] * uvabc[:, 2]
+        + w_bar[:, None] * uvabc[:, 0]
+    )
+
+    # consolidated texture-slot sampling: per-ray atlas binding by mesh
+    def slot_binding(slot):
+        off = jnp.zeros((n,), jnp.int32)
+        w = jnp.ones((n,), jnp.int32)
+        h = jnp.ones((n,), jnp.int32)
+        present = jnp.zeros((n,), bool)
+        for mask, m in zip(masks, meshes):
+            tid = m.tex_ids[slot]
+            if tid >= 0:
+                off = jnp.where(mask, scene.tex_offset[tid], off)
+                w = jnp.where(mask, scene.tex_width[tid], w)
+                h = jnp.where(mask, scene.tex_height[tid], h)
+                present |= mask
+        return off, w, h, present
+
+    def sample_slot(slot):
+        off, w, h, present = slot_binding(slot)
+        return _sample_texture_dyn(scene, off, w, h, uv), present
+
+    # normal map (slot 4) via per-triangle tangent TBN
+    # (geometry.rs:274-298), only for rays whose mesh binds one
+    n_obj = n_flip
+    if any(m.tex_ids[4] >= 0 for m in meshes):
+        nm_rgb, nm_present = sample_slot(4)
+        nm = 2.0 * nm_rgb - 1.0
+        bitangent = vm.normalize(jnp.cross(n_flip, tan_approx), eps=1e-30)
+        tangent = vm.normalize(jnp.cross(bitangent, n_flip), eps=1e-30)
+        n_mapped = (
+            tangent * nm[:, 0:1] + bitangent * nm[:, 1:2] + n_flip * nm[:, 2:3]
+        )
+        n_obj = jnp.where(nm_present[:, None], n_mapped, n_flip)
+
+    # normal/hitpoint to world with per-ray selected matrices
+    nm_rows = sel_rows(
+        [jnp.asarray(m.normal_mat)[:3, :3].reshape(-1) for m in meshes], 9
+    )
+    xf_rows = sel_rows(
+        [jnp.concatenate([
+            jnp.asarray(m.transform)[:3, :3].reshape(-1),
+            jnp.asarray(m.transform)[:3, 3],
+        ]) for m in meshes], 12
+    )
+
+    def mat3_apply(rows9, p):
+        return jnp.stack(
+            [
+                rows9[:, 0] * p[:, 0] + rows9[:, 1] * p[:, 1] + rows9[:, 2] * p[:, 2],
+                rows9[:, 3] * p[:, 0] + rows9[:, 4] * p[:, 1] + rows9[:, 5] * p[:, 2],
+                rows9[:, 6] * p[:, 0] + rows9[:, 7] * p[:, 1] + rows9[:, 8] * p[:, 2],
+            ],
+            axis=-1,
+        )
+
+    n_world = vm.normalize(mat3_apply(nm_rows, n_obj), eps=1e-30)
+    p_obj = o_objw + t[:, None] * d_objw
+    p_world = mat3_apply(xf_rows, p_obj) + xf_rows[:, 9:12]
+
+    # material: explicit rows vs texture synthesis (geometry.rs:253-271)
+    mat_ids = jnp.zeros((n,), jnp.int32)
+    synth = jnp.zeros((n,), bool)
+    for mask, m in zip(masks, meshes):
+        if m.mat_id >= 0:
+            mat_ids = jnp.where(mask, m.mat_id, mat_ids)
+        else:
+            synth |= mask
+    mm = _gather_material(scene, mat_ids)
+    if any(m.mat_id < 0 for m in meshes):
+        alb, alb_p = sample_slot(0)
+        emi, emi_p = sample_slot(1)
+        met, met_p = sample_slot(2)
+        rou, rou_p = sample_slot(3)
+        zero3 = jnp.zeros((n, 3), jnp.float32)
+        mm = dict(
+            mtype=jnp.where(synth, mat.PARAMETERIZED, mm["mtype"]),
+            albedo=jnp.where(
+                synth[:, None], jnp.where(alb_p[:, None], alb, zero3), mm["albedo"]
+            ),
+            emission=jnp.where(
+                synth[:, None], jnp.where(emi_p[:, None], emi, zero3), mm["emission"]
+            ),
+            metallic=jnp.where(
+                synth, jnp.where(met_p, met[:, 0], 0.0), mm["metallic"]
+            ),
+            roughness=jnp.where(
+                synth, jnp.where(rou_p, rou[:, 0], 1.0), mm["roughness"]
+            ),
+            ior=jnp.where(synth, 1.5, mm["ior"]),
+        )
+
+    mf = dict(point=p_world, normal=n_world, frontface=frontface, **mm)
+    for key in fields:
+        sel = any_mesh[:, None] if fields[key].ndim > 1 else any_mesh
+        fields[key] = jnp.where(sel, mf[key], fields[key])
+    return fields

@@ -97,6 +97,25 @@ def _block_rows_default() -> int:
     return int(os.environ.get("RT_BLOCK_ROWS", str(DEFAULT_BLOCK_ROWS)))
 
 
+# Groups per fori step in the incoherent dense scan (see _build_bounce).
+# Measured on the official north-star dispatch (tools/sweep_dense_unroll,
+# 240-tri teapot, 64-row blocks): unroll 1 → 454.1 Mrays/s, 3 → 455.4,
+# 5 → 431.8, 15 (full unroll) → scoped-vmem OOM (16.14M > 16M spill
+# stack); 96-row blocks lose at any unroll. The fori iteration boundary
+# costs ~0.3% — the 16-tri group body is already a big straight-line
+# block, so deeper unrolling buys nothing before spill pressure bites.
+# The scan is op-count bound, not schedule bound (consistent with the
+# round-1 tree-min/index-in-key negative results).
+DEFAULT_DENSE_UNROLL = 3
+
+
+def _dense_unroll_default() -> int:
+    """Dense-scan unroll chunk (RT_DENSE_UNROLL overrides for sweeps)."""
+    import os
+
+    return int(os.environ.get("RT_DENSE_UNROLL", str(DEFAULT_DENSE_UNROLL)))
+
+
 def _rotl(x, r):
     return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
 
@@ -456,13 +475,31 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             if not cull:
                 # Incoherent small-mesh scan: plain dense groups, no
                 # per-group slab/reduce/cond (they never cull here and
-                # their overhead is measurable).
-                def group_body(s, packed, scan16=scan16, start=start):
-                    return scan16(packed, start + s * 16)
+                # their overhead is measurable). The group loop is
+                # PARTIALLY unrolled (`dense_unroll` groups per fori
+                # step, python-unrolled tail): bigger straight-line
+                # blocks let Mosaic hoist SMEM loads ahead of the vector
+                # math, but a FULL 240-tri unroll overflows the 16MB
+                # scoped-vmem spill stack at 64-row blocks (measured:
+                # 16.14M > 16.00M limit) — the partial form keeps
+                # liveness bounded.
+                u = max(1, counts.get("dense_unroll", 1))
+                packed = (key, widx)
+                n_chunks = sl_count // u
 
-                key, widx = jax.lax.fori_loop(
-                    0, sl_count, group_body, (key, widx)
-                )
+                if n_chunks > 0:
+                    def chunk_body(ci, packed, scan16=scan16, start=start,
+                                   u=u):
+                        for k in range(u):
+                            packed = scan16(packed, start + (ci * u + k) * 16)
+                        return packed
+
+                    packed = jax.lax.fori_loop(
+                        0, n_chunks, chunk_body, packed
+                    )
+                for s in range(n_chunks * u, sl_count):
+                    packed = scan16(packed, start + s * 16)
+                key, widx = packed
                 continue
             inv_mdx = 1.0 / mdx
             inv_mdy = 1.0 / mdy
@@ -970,6 +1007,7 @@ def path_trace_pallas(
     t_min: float = 0.001,
     block_rows: int | None = None,
     interpret: bool = False,
+    dense_unroll: int | None = None,
 ):
     """Run the mega-bounce kernel over N primary rays.
 
@@ -982,6 +1020,8 @@ def path_trace_pallas(
     """
     if block_rows is None:
         block_rows = _block_rows_default()
+    if dense_unroll is None:
+        dense_unroll = _dense_unroll_default()
     interpret = interpret or jax.default_backend() != "tpu"
     n = o.shape[0]
     block = block_rows * LANES
@@ -1007,6 +1047,7 @@ def path_trace_pallas(
         sl_ranges=scene.ksl_ranges,
         n_mat=int(scene.mat_type.shape[0]),
         mat_present=scene.mat_types_present,
+        dense_unroll=dense_unroll,
     )
     kernel = _make_kernel(
         counts, path_depth=path_depth, t_min=t_min, max_dist=max_trace_dist,

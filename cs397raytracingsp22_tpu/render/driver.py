@@ -90,6 +90,27 @@ class RenderStats:
         )
 
 
+def _gen_chunk_rays(camera, pixel_ids, rng_key, sample_offset, spp, n_chains):
+    """Camera rays + chain uids for one chunk (shared by the fused and
+    staged-shrink executors)."""
+    o, d = camera.generate_rays(
+        rng_key, pixel_ids, spp=spp, sample_offset=sample_offset
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    sample_ids = sample_offset + jnp.arange(spp, dtype=jnp.int32)
+    uids = pixel_ids[:, None] * jnp.int32(camera.aa_sample_count) + sample_ids[None, :]
+    uids = uids.reshape(-1)
+    if n_chains > 1:
+        o = jnp.repeat(o, n_chains, axis=0)
+        d = jnp.repeat(d, n_chains, axis=0)
+        uids = uids[:, None] * jnp.int32(n_chains) + jnp.arange(
+            n_chains, dtype=jnp.int32
+        )
+        uids = uids.reshape(-1)
+    return o, d, uids
+
+
 def render_chunk_core(
     scene: SceneData,
     camera: Camera,
@@ -109,21 +130,9 @@ def render_chunk_core(
     and inside shard_map (parallel.sharding).
     """
     n_px = pixel_ids.shape[0]
-    o, d = camera.generate_rays(rng_key, pixel_ids, spp=spp, sample_offset=sample_offset)
-    o = o.reshape(-1, 3)
-    d = d.reshape(-1, 3)
-
-    # Chain uids: distinct bounce RNG per replicated chain.
-    sample_ids = sample_offset + jnp.arange(spp, dtype=jnp.int32)
-    uids = pixel_ids[:, None] * jnp.int32(camera.aa_sample_count) + sample_ids[None, :]
-    uids = uids.reshape(-1)
-    if n_chains > 1:
-        o = jnp.repeat(o, n_chains, axis=0)
-        d = jnp.repeat(d, n_chains, axis=0)
-        uids = uids[:, None] * jnp.int32(n_chains) + jnp.arange(
-            n_chains, dtype=jnp.int32
-        )
-        uids = uids.reshape(-1)
+    o, d, uids = _gen_chunk_rays(
+        camera, pixel_ids, rng_key, sample_offset, spp, n_chains
+    )
 
     if camera.shading_mode is ShadingMode.PHONG:
         radiance = integrator.phong_trace(
@@ -153,6 +162,38 @@ def render_chunk_core(
 render_chunk = jax.jit(
     render_chunk_core, static_argnames=("camera", "spp", "n_chains")
 )
+
+
+_raygen_jit = jax.jit(
+    _gen_chunk_rays, static_argnames=("camera", "spp", "n_chains")
+)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _pixel_sum(radiance, n_px, per_px):
+    return jnp.sum(radiance.reshape(n_px, per_px, 3), axis=1)
+
+
+def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
+                        spp, n_chains=1):
+    """Chunk executor for textured/big-mesh scenes on TPU: host-
+    orchestrated per-bounce dispatch with a shrinking wavefront
+    (integrator.path_trace_shrink) instead of one fused fori-loop
+    program. Same signature and bit-identical radiance as render_chunk —
+    the driver picks it when the mega-bounce kernel can't run the scene
+    (scene_is_simple false), where full-width dead-ray dispatches
+    dominate the staged pipeline's cost."""
+    from cs397raytracingsp22_tpu.render import integrator
+
+    n_px = pixel_ids.shape[0]
+    o, d, uids = _raygen_jit(
+        camera, pixel_ids, rng_key, sample_offset, spp, n_chains
+    )
+    radiance, segments = integrator.path_trace_shrink(
+        scene, o, d, uids, rng_key, camera.path_depth, camera.max_trace_dist
+    )
+    rad_sum = _pixel_sum(radiance, n_px, spp * n_chains) / n_chains
+    return rad_sum, segments
 
 
 # Device-side accumulate: new buffer each call (no donation) so the
@@ -319,16 +360,47 @@ def render_to_image(
                 return (jnp.asarray(ids), jnp.int32(s0))
 
     else:
+        from cs397raytracingsp22_tpu.ops.intersect import _use_pallas
+        from cs397raytracingsp22_tpu.ops.pallas import bounce as _bounce_kernel
 
-        def _dispatch(ids_dev, s0_dev, s_count):
-            # module-global lookup (not captured) so tests can
-            # monkeypatch render_chunk for failure injection
-            return render_chunk(
-                scene_data, cam, ids_dev, rng_key, s0_dev, s_count, n_chains
-            )
+        use_shrink = (
+            cam.shading_mode is not ShadingMode.PHONG
+            and _use_pallas()
+            and not _bounce_kernel.scene_is_simple(scene_data)
+            and os.environ.get("RT_SHRINK", "1") == "1"
+        )
+
+        if use_shrink:
+
+            def _dispatch(ids_dev, s0_dev, s_count):
+                # staged scenes: per-bounce shrinking wavefront
+                # (render_chunk_staged docstring); bit-identical output
+                return render_chunk_staged(
+                    scene_data, cam, ids_dev, rng_key, s0_dev, s_count,
+                    n_chains,
+                )
+
+        else:
+
+            def _dispatch(ids_dev, s0_dev, s_count):
+                # module-global lookup (not captured) so tests can
+                # monkeypatch render_chunk for failure injection
+                return render_chunk(
+                    scene_data, cam, ids_dev, rng_key, s0_dev, s_count,
+                    n_chains,
+                )
 
         def _make_args(ids, s0):
             return (jnp.asarray(ids), jnp.int32(s0))
+
+    # Pixel ids stay DEVICE-resident: chunks are static slices of one
+    # arange, so nothing but two scalars crosses the host→device link
+    # per dispatch (a 262k-pixel chunk's id upload is 1 MB — measurable
+    # on the tunneled TPU). Multi-host keeps the host path: each process
+    # donates its addressable slice of a host-built global array.
+    ids_dev_full = None
+    if not multiproc:
+        ids_dev_full = jnp.arange(n_px_total, dtype=jnp.int32)
 
     def _pull(x, dtype=None):
         """Device→host; gathers non-addressable shards on multi-host."""
@@ -461,13 +533,22 @@ def render_to_image(
     for s0 in range(spp_done, spp, spp_chunk):
         s_count = min(spp_chunk, spp - s0)
         for ci in range(n_pixel_chunks):
-            ids = all_pixel_ids[ci * pixel_chunk : (ci + 1) * pixel_chunk]
-            n_valid = ids.shape[0]
-            if n_valid < pixel_chunk:  # pad to static shape
-                ids = np.concatenate(
-                    [ids, np.zeros(pixel_chunk - n_valid, np.int32)]
-                )
-            args = (*_make_args(ids, s0), s_count)
+            lo = ci * pixel_chunk
+            n_valid = min(pixel_chunk, n_px_total - lo)
+            if ids_dev_full is not None:
+                ids = ids_dev_full[lo : lo + n_valid]
+                if n_valid < pixel_chunk:  # pad to static shape, on device
+                    ids = jnp.concatenate(
+                        [ids, jnp.zeros(pixel_chunk - n_valid, jnp.int32)]
+                    )
+                args = (ids, jnp.int32(s0), s_count)
+            else:
+                ids = all_pixel_ids[lo : lo + n_valid]
+                if n_valid < pixel_chunk:
+                    ids = np.concatenate(
+                        [ids, np.zeros(pixel_chunk - n_valid, np.int32)]
+                    )
+                args = (*_make_args(ids, s0), s_count)
             try:
                 rad, segs = _dispatch(*args)
             except jax.errors.JaxRuntimeError:
