@@ -58,9 +58,18 @@ PIECE_TRIS = 1024  # triangles per SMEM piece (48KB of BW rows)
 SL_PER_PIECE = PIECE_TRIS // SL
 
 
-def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
-            bk, bid, *, n_pieces, exact_recip):
-    j = pl.program_id(1)
+def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
+            tmn, tmx, bk, bid, *, n_pieces, exact_recip):
+    # `order` (scalar-prefetch): per ray-block front-to-back piece
+    # permutation — the SAME permutation drives the piece_bw/piece_sl
+    # window index_maps, so step jj of block i scans piece order[i, jj].
+    # Front-to-back order makes the FIRST hit piece tighten best_t, and
+    # the existing per-piece slab cull (entry > best) then skips most of
+    # the remaining pieces — a traversal-order early-out the plain
+    # index-order scan only got by luck.
+    i = pl.program_id(0)
+    jj = pl.program_id(1)
+    j = order[i, jj]
 
     o_x = ox[:]
     o_y = oy[:]
@@ -79,7 +88,7 @@ def _kernel(piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz, tmn, tmx,
     def bcf(x):
         return jax.lax.bitcast_convert_type(x, jnp.float32)
 
-    @pl.when(j == 0)
+    @pl.when(jj == 0)
     def _():
         # key = raw bitcast of t_max: every live candidate has
         # t >= t_min >= 0, whose int32 pattern order equals float order
@@ -243,32 +252,78 @@ def tri_scan_big_pallas(
         plane(t_min), plane(t_max),
     ]
 
-    ray_spec = pl.BlockSpec(
-        (block_rows, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM
-    )
-    smem_all = pl.BlockSpec(memory_space=pltpu.SMEM)
-    # flat (1, k) windows: SMEM windows pad the minor dim to 128 lanes,
-    # so 2-D (1024, 12) would allocate 1024x128 floats (1MB) - flattened
-    # rows keep the window at its true 48KB
-    bw_spec = pl.BlockSpec(
-        (1, PIECE_TRIS * 12), lambda i, j: (0, j), memory_space=pltpu.SMEM
-    )
-    sl_spec = pl.BlockSpec(
-        (1, SL_PER_PIECE * 6), lambda i, j: (0, j), memory_space=pltpu.SMEM
-    )
-    ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
+    # Front-to-back piece order per ray block: conservative block entry
+    # distance = min over the block's rays of the piece-AABB slab entry
+    # (+inf when the ray misses). Heuristic only — correctness comes
+    # from the in-kernel per-piece/per-triangle tests — so slab NaNs
+    # from axis-parallel rays are harmless. O(n_pieces) loop keeps the
+    # temporaries at (N,) instead of (N, P).
+    n_blocks = grid[0]
+    t_min_v = planes[6].reshape(-1)
+    t_max_v = planes[7].reshape(-1)
+    o_pad = [p.reshape(-1) for p in planes[0:3]]
+    d_pad = [p.reshape(-1) for p in planes[3:6]]
+    inv_d = [1.0 / dv for dv in d_pad]
+    entries = []
+    for p in range(n_pieces):
+        lo_t = t_min_v
+        hi_t = t_max_v
+        for a in range(3):
+            t0 = (big_box[p, a] - o_pad[a]) * inv_d[a]
+            t1 = (big_box[p, a + 3] - o_pad[a]) * inv_d[a]
+            lo_t = jnp.maximum(lo_t, jnp.minimum(t0, t1))
+            hi_t = jnp.minimum(hi_t, jnp.maximum(t0, t1))
+        entry = jnp.where(hi_t > lo_t, lo_t, jnp.inf)
+        entries.append(
+            jnp.min(entry.reshape(n_blocks, block), axis=1)
+        )
+    block_entry = jnp.stack(entries, axis=1)  # (n_blocks, n_pieces)
+    order = jnp.argsort(block_entry, axis=1).astype(jnp.int32)
 
+    ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
     kernel = functools.partial(
         _kernel, n_pieces=n_pieces, exact_recip=interpret
     )
+    # flat (1, k) windows: SMEM windows pad the minor dim to 128 lanes,
+    # so 2-D (1024, 12) would allocate 1024x128 floats (1MB) - flattened
+    # rows keep the window at its true 48KB. Window index = order[i, jj]
+    # via the scalar-prefetched permutation.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, PIECE_TRIS * 12),
+                lambda i, j, order: (0, order[i, j]),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, SL_PER_PIECE * 6),
+                lambda i, j, order: (0, order[i, j]),
+                memory_space=pltpu.SMEM,
+            ),
+        ]
+        + [
+            pl.BlockSpec(
+                (block_rows, LANES), lambda i, j, order: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 8,
+        out_specs=[
+            pl.BlockSpec(
+                (block_rows, LANES), lambda i, j, order: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 2,
+    )
     bk, bid = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[smem_all, bw_spec, sl_spec] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 2,
+        grid_spec=grid_spec,
         out_shape=[ishape, ishape],
         interpret=interpret,
     )(
+        order,
         big_box,
         big_bw.reshape(1, n_pieces * PIECE_TRIS * 12),
         big_sl.reshape(1, n_pieces * SL_PER_PIECE * 6),

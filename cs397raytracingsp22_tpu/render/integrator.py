@@ -275,7 +275,7 @@ def path_trace_shrink(
     rng_key,
     path_depth: int,
     max_trace_dist: float,
-    shrink_after: int = 1,
+    shrink_points: tuple = (1, 4),
     min_width: int = 4096,
 ):
     """path_trace with host-orchestrated per-bounce dispatch and a
@@ -293,9 +293,16 @@ def path_trace_shrink(
     scene compiles at most ~4 staged-kernel shapes. Bit-identical to
     path_trace (content-keyed RNG; the dropped tail rows are dead and
     their radiance is retired before truncation). Used by the driver for
-    textured/big-mesh scenes on TPU; requires one host sync per bounce
-    (the alive count), which the per-bounce dispatch latency already
-    covers.
+    textured/big-mesh scenes on TPU.
+
+    The alive count is read from the device ONLY at `shrink_points`
+    (bounce indices): each read costs a full host round-trip (~25 ms on
+    this environment's tunneled TPU — measured 219 ms vs 0.5 ms for an
+    8-bounce all-sky chunk when every bounce synced), and a count
+    measured at bounce b remains a VALID width bound for every later
+    bounce because rays only die. Two points (post-bounce-1 for the
+    big first die-off, post-bounce-4 for deep traces) capture most of
+    the shrink at two RTTs per chunk.
     """
     if isinstance(rng_key, int):
         rng_key = threefry.key_words(rng_key)  # _bounce_once is jitted
@@ -330,15 +337,22 @@ def path_trace_shrink(
     segments = jnp.zeros((), jnp.float32)
     width = n
     for b in range(path_depth):
+        shrink_here = (
+            b in shrink_points and b < path_depth - 1 and width > min_width
+        )
+        # the exit sort parks dead rays at the tail — required at shrink
+        # points (truncation correctness) and kept every bounce when the
+        # scene wants coherence sorting anyway (big meshes)
         o_, d_, thr, rad, alive, uids_, pos = state
         (o_, d_, thr, rad, alive, uids_, pos, segs, n_alive) = _bounce_once(
             scene, o_, d_, thr, rad, alive, uids_, pos, rng_key,
-            rnglib.SITE_BOUNCE0 + b, max_trace_dist, True,
+            rnglib.SITE_BOUNCE0 + b, max_trace_dist,
+            sort_rays or shrink_here,
         )
         segments = segments + segs
         state = (o_, d_, thr, rad, alive, uids_, pos)
-        if b >= shrink_after - 1 and b < path_depth - 1 and width > min_width:
-            count = int(n_alive)  # host sync: picks the next bucket
+        if shrink_here:
+            count = int(n_alive)  # host round-trip: picks the bucket
             if count == 0:
                 break
             new_w = width
