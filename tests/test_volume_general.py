@@ -165,6 +165,43 @@ def test_mega_kernel_excludes_gvol_scenes():
     assert not scene_is_simple(scene.compile())
 
 
+def test_fused_path_matches_jnp_with_gvol(monkeypatch):
+    """The staged/fused pipeline's gvol merge (interpret-mode kernels on
+    CPU) must agree with the jnp specification path."""
+    import jax
+    import jax.numpy as jnp
+
+    vol = _cube_volume(density=1.1)
+    scene = Scene(
+        camera=Camera(eyepoint=(0, 0, 4), view_dir=(0, 0, -1), up=(0, 1, 0)),
+        objects=[
+            vol,
+            Sphere(center=(0, 0, -2), radius=0.8,
+                   material=Lambertian(albedo=(0.6, 0.2, 0.2))),
+            Plane(point=(0, -2, 0), normal=(0, 1, 0),
+                  material=Lambertian(albedo=(0.4, 0.4, 0.4))),
+        ],
+    )
+    data = scene.compile()
+    rng = np.random.default_rng(5)
+    n = 512
+    o = jnp.asarray(rng.uniform(-2, 4, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    n_cols = data.vol_center.shape[0] + data.n_gvols
+    u = jnp.asarray(rng.uniform(0, 1, (n, n_cols)).astype(np.float32))
+
+    ref = isect.intersect_scene_jnp(data, o, d, 0.001, 100.0, u)
+    fused = isect.intersect_scene_fused(data, o, d, 0.001, 100.0, u)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(fused.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(ref.t)[m], np.asarray(fused.t)[m], rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.mtype)[m], np.asarray(fused.mtype)[m]
+    )
+
+
 def test_render_with_mesh_boundary_volume():
     """End-to-end: emissive sphere behind a cube-shaped fog volume —
     pixels through the fog must dim but stay lit (scatter + passthrough),
