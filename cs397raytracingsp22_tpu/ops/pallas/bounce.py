@@ -168,7 +168,7 @@ def scene_is_simple(scene) -> bool:
 
 
 def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
-                  tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
+                  tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
                   mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
                   primary=False, exact_recip=False):
     """Build the single-bounce update used by both the full-loop kernel
@@ -867,7 +867,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist, exact_recip=False):
 
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
-        mesh_xf, mesh_bw, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
+        mesh_xf, mesh_bw, mesh_meta, mat_tab, sl_bounds,
         bw_v, nrm_v,
         ox, oy, oz, dx, dy, dz, uid,
         rad_r, rad_g, rad_b, seg_out,
@@ -898,7 +898,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist, exact_recip=False):
 
         common = (
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
-            tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
+            tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
             mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
         )
         bounce0 = _build_bounce(*common, primary=True, exact_recip=exact_recip)
@@ -1064,7 +1064,7 @@ def path_trace_pallas(
     rr, rg, rb, segs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[smem] * 15 + [vmem_full] * 2 + [ray_spec] * 7,
+        in_specs=[smem] * 14 + [vmem_full] * 2 + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
         out_shape=[fshape] * 4,
         interpret=interpret,
@@ -1072,7 +1072,7 @@ def path_trace_pallas(
         rng_key,
         scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
         scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
-        tables["mesh_xf"], scene.kmesh_bw, tables["mesh_nrm"],
+        tables["mesh_xf"], scene.kmesh_bw,
         tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
         tables["bw_gather"], tables["nrm_gather"],
         *planes,
@@ -1094,7 +1094,7 @@ def _make_step_kernel(counts, *, t_min, max_dist, exact_recip=False):
 
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
-        mesh_xf, mesh_bw, mesh_nrm, mesh_meta, mat_tab, sl_bounds,
+        mesh_xf, mesh_bw, mesh_meta, mat_tab, sl_bounds,
         bw_v, nrm_v,
         ox, oy, oz, dx, dy, dz, uid, tr, tg, tb, rr, rg, rb, alive_i,
         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
@@ -1110,7 +1110,7 @@ def _make_step_kernel(counts, *, t_min, max_dist, exact_recip=False):
         # caller compacts rays between bounces, restoring some coherence)
         bounce = _build_bounce(
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
-            tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_nrm, mesh_meta,
+            tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
             mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
             primary=True, exact_recip=exact_recip,
         )
@@ -1260,7 +1260,7 @@ def path_trace_wavefront(
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[smem] * 15 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            in_specs=[smem] * 14 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
             + [ray_spec] * 14,
             out_specs=[ray_spec] * 13,
             out_shape=[fshape] * 12 + [ishape],
@@ -1269,7 +1269,7 @@ def path_trace_wavefront(
             key3,
             scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
             scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
-            tables["mesh_xf"], scene.kmesh_bw, tables["mesh_nrm"],
+            tables["mesh_xf"], scene.kmesh_bw,
             tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
             tables["bw_gather"], tables["nrm_gather"],
             plane(ox), plane(oy), plane(oz), plane(dx), plane(dy), plane(dz),

@@ -67,9 +67,12 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
     # the existing per-piece slab cull (entry > best) then skips most of
     # the remaining pieces — a traversal-order early-out the plain
     # index-order scan only got by luck.
+    # `order` ships FLAT (n_blocks * n_pieces,): a 2-D (B, P) SMEM array
+    # pads its minor dim to 128 lanes (measured: s32[2048, 6] billed as
+    # 1.0 MB — an SMEM OOM at full-width dispatches), flat stays 4*B*P.
     i = pl.program_id(0)
     jj = pl.program_id(1)
-    j = order[i, jj]
+    j = order[i * n_pieces + jj]
 
     o_x = ox[:]
     o_y = oy[:]
@@ -278,7 +281,7 @@ def tri_scan_big_pallas(
             jnp.min(entry.reshape(n_blocks, block), axis=1)
         )
     block_entry = jnp.stack(entries, axis=1)  # (n_blocks, n_pieces)
-    order = jnp.argsort(block_entry, axis=1).astype(jnp.int32)
+    order = jnp.argsort(block_entry, axis=1).astype(jnp.int32).reshape(-1)
 
     ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
     kernel = functools.partial(
@@ -295,12 +298,12 @@ def tri_scan_big_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, PIECE_TRIS * 12),
-                lambda i, j, order: (0, order[i, j]),
+                lambda i, j, order: (0, order[i * n_pieces + j]),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
                 (1, SL_PER_PIECE * 6),
-                lambda i, j, order: (0, order[i, j]),
+                lambda i, j, order: (0, order[i * n_pieces + j]),
                 memory_space=pltpu.SMEM,
             ),
         ]

@@ -46,7 +46,10 @@ def main():
           f"path={path}", flush=True)
 
     n_px = width * width
-    chunk_px = min(n_px, max(1, (1 << 24) // spp))
+    # Driver-sized chunks: the staged/shrink executor keeps full-width
+    # sort + state buffers (14 ops/ray), so whole-image dispatches at
+    # 512²×64spp OOM HBM; the driver itself chunks staged scenes.
+    chunk_px = min(n_px, max(1, (1 << 21) // spp))
     ids = jnp.arange(chunk_px, dtype=jnp.int32)
     key = threefry.key_words(0)
 
