@@ -116,6 +116,17 @@ def _dense_unroll_default() -> int:
     return int(os.environ.get("RT_DENSE_UNROLL", str(DEFAULT_DENSE_UNROLL)))
 
 
+def _num_mode() -> str:
+    """RT_NUM: "sub" (default) computes num = b3 - b·mo' with the same
+    3 loads as den; "neg" reads the negated-normal cols 12-14 for a pure
+    seeded FMA chain — 1 fewer vector op but 3 more SMEM loads per
+    triangle. A/B knob: measured within noise on the north-star
+    (457.1 vs 457.7 Mrays/s), so the fewer-loads form is the default."""
+    import os
+
+    return os.environ.get("RT_NUM", "sub")
+
+
 def _rotl(x, r):
     return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
 
@@ -358,8 +369,8 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         # group AABB closer than its current best).
         sl_ranges = counts["sl_ranges"]
         INTMAX = jnp.int32(2147483647)
-        ABS_MASK = jnp.int32(0x7FFFFFFF)
-        EPS_BITS = jnp.int32(np.float32(MT_EPSILON).view(np.int32))
+        EPS2 = jnp.float32(float(MT_EPSILON) * float(MT_EPSILON))
+        BW_COLS = 15
         tmin_f = jnp.float32(t_min)
         best_t, code, mat, nx, ny, nz, ff = carry
 
@@ -369,16 +380,22 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         def bcf(x):
             return jax.lax.bitcast_convert_type(x, jnp.float32)
 
-        # Candidate keys are plain bitcasts of t (no sign-flip): every
-        # live candidate has t ≥ t_min > 0, whose int32 pattern order
-        # equals float order, so the signed cmp/select chain works on
-        # the raw patterns and the per-triangle xor disappears.
+        # Candidate keys are plain bitcasts of t' = t - t_min (no
+        # sign-flip): the whole mesh scan runs in a t_min-SHIFTED ray
+        # domain — the mesh-space origin is pre-advanced by t_min·d
+        # below — so every live candidate has t' ≥ 0, whose int32
+        # pattern order equals float order, and the per-triangle
+        # `t - t_min` reject subtraction disappears (the sign bit of t'
+        # itself joins the reject or-chain). The shift is exact for hit
+        # points (mo' + t'·md ≡ mo + t·md) and monotone for ordering;
+        # the winner's true t is re-derived exactly post-scan from the
+        # UNSHIFTED origin.
         # (An index-in-key min-TREE variant was measured SLOWER, 466 vs
         # 475 Mrays/s: the kernel is op-count-bound — each jnp op is
         # already 8 vregs of ILP on (64,128) tiles — so the 2 extra
         # pack ops/tri cost more than the shorter dependency chain
         # saved. Kept serial chain; negative result recorded here.)
-        key0 = bci(best_t)
+        key0 = bci(best_t - tmin_f)
         key = key0
         widx = izero
 
@@ -395,25 +412,41 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tx = mesh_xf[mi, 9]
             ty = mesh_xf[mi, 10]
             tz = mesh_xf[mi, 11]
-            mox = r00 * sox + r01 * soy + r02 * soz + tx
-            moy = r10 * sox + r11 * soy + r12 * soz + ty
-            moz = r20 * sox + r21 * soy + r22 * soz + tz
             mdx = r00 * sdx + r01 * sdy + r02 * sdz
             mdy = r10 * sdx + r11 * sdy + r12 * sdz
             mdz = r20 * sdx + r21 * sdy + r22 * sdz
+            # t_min-advanced mesh-space origin: hit points are identical
+            # (mo' + t'·md = mo + t·md) but the per-triangle t ≥ t_min
+            # reject becomes a free sign test of t' (see key0 above).
+            mox = r00 * sox + r01 * soy + r02 * soz + tx + tmin_f * mdx
+            moy = r10 * sox + r11 * soy + r12 * soz + ty + tmin_f * mdy
+            moz = r20 * sox + r21 * soy + r22 * soz + tz + tmin_f * mdz
 
             def bw_parts(i, mox=mox, moy=moy, moz=moz,
                          mdx=mdx, mdy=mdy, mdz=mdz):
-                # Baldwin–Weber off the precomputed rows. Every reject
-                # (u<0, v<0, u+v>1, t<t_min) lands in the sign bit of
+                # Baldwin–Weber off the precomputed rows (flattened
+                # 15-col layout: cols 12–14 are the NEGATED normal row,
+                # so `num` is a pure 3-FMA chain seeded with b3 — the
+                # standalone subtract disappears; 3 extra SMEM loads
+                # ride the otherwise idle scalar unit). Every reject
+                # (u<0, v<0, u+v>1, t'<0) lands in the sign bit of
                 # `rej`. den≈0 → t = ±inf/NaN whose key pattern loses to
                 # any real t including the t_max init (padded zero rows
                 # produce NaN and never win).
-                b0 = mesh_bw[i, 0]
-                b1 = mesh_bw[i, 1]
-                b2 = mesh_bw[i, 2]
+                base = i * BW_COLS
+                b0 = mesh_bw[base + 0]
+                b1 = mesh_bw[base + 1]
+                b2 = mesh_bw[base + 2]
                 den = b0 * mdx + b1 * mdy + b2 * mdz
-                num = mesh_bw[i, 3] - (b0 * mox + b1 * moy + b2 * moz)
+                if _num_mode() == "neg":
+                    num = (mesh_bw[base + 12] * mox
+                           + (mesh_bw[base + 13] * moy
+                              + (mesh_bw[base + 14] * moz
+                                 + mesh_bw[base + 3])))
+                else:
+                    num = mesh_bw[base + 3] - (
+                        b0 * mox + b1 * moy + b2 * moz
+                    )
                 # t via the VPU's approximate-reciprocal instruction:
                 # the exact divide was the single most expensive op of
                 # the whole scan (measured 396 → 476 Mrays/s). Error is
@@ -436,23 +469,26 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 px = mox + t * mdx
                 py = moy + t * mdy
                 pz = moz + t * mdz
-                u = (mesh_bw[i, 4] * px + mesh_bw[i, 5] * py
-                     + mesh_bw[i, 6] * pz + mesh_bw[i, 7])
-                v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
-                     + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
+                u = (mesh_bw[base + 4] * px + mesh_bw[base + 5] * py
+                     + mesh_bw[base + 6] * pz + mesh_bw[base + 7])
+                v = (mesh_bw[base + 8] * px + mesh_bw[base + 9] * py
+                     + mesh_bw[base + 10] * pz + mesh_bw[base + 11])
                 # the reference's |det| >= 1e-4 grazing reject
-                # (geometry.rs:336) in the integer domain: positive
-                # float patterns order like floats, so
-                # (|den|_bits - eps_bits) has the sign bit iff
-                # |den| < 1e-4. Not statistical noise: on small-triangle
-                # meshes (|e1×e2| ~ 1e-3) it fires on a few % of hits.
+                # (geometry.rs:336) as one fused op: den² - 1e-8 has the
+                # sign bit iff |den| < 1e-4 (den² underflows to 0 for
+                # |den| < ~1e-19 — still correctly rejected). Boundary
+                # cases within ~2^-25 relative of 1e-4 may flip vs an
+                # exact |den| compare — inside the statistical-parity
+                # contract. Not statistical noise overall: on
+                # small-triangle meshes (|e1×e2| ~ 1e-3) it fires on a
+                # few % of hits.
                 # Sign-bit edge semantics: a barycentric of exactly -0.0
                 # rejects here, where a `>= 0.0` test would accept. Only
                 # hits landing exactly on a triangle edge whose dots
                 # round to negative zero differ — within the documented
                 # edge-rounding tolerance (see module docstring).
-                rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - tmin_f))
-                rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
+                rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t))
+                rej = rej | bci(den * den - EPS2)
                 return t, rej
 
             def mesh_body(i, packed):
@@ -510,23 +546,26 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                         scan16=scan16, start=start,
                         sl_first=sl_first):
                 keyc = packed[0]
-                row = sl_first + s
-                t0x = (sl_bounds[row, 0] - mox) * inv_mdx
-                t1x = (sl_bounds[row, 3] - mox) * inv_mdx
-                t0y = (sl_bounds[row, 1] - moy) * inv_mdy
-                t1y = (sl_bounds[row, 4] - moy) * inv_mdy
-                t0z = (sl_bounds[row, 2] - moz) * inv_mdz
-                t1z = (sl_bounds[row, 5] - moz) * inv_mdz
+                base = (sl_first + s) * 6
+                # mox is the t_min-advanced origin, so these slab
+                # t-intervals live in the same shifted t' domain as the
+                # keys — the tbest comparison below stays consistent.
+                t0x = (sl_bounds[base + 0] - mox) * inv_mdx
+                t1x = (sl_bounds[base + 3] - mox) * inv_mdx
+                t0y = (sl_bounds[base + 1] - moy) * inv_mdy
+                t1y = (sl_bounds[base + 4] - moy) * inv_mdy
+                t0z = (sl_bounds[base + 2] - moz) * inv_mdz
+                t1z = (sl_bounds[base + 5] - moz) * inv_mdz
                 lox = jnp.minimum(t0x, t1x)
                 hix = jnp.maximum(t0x, t1x)
                 loy = jnp.minimum(t0y, t1y)
                 hiy = jnp.maximum(t0y, t1y)
                 loz = jnp.minimum(t0z, t1z)
                 hiz = jnp.maximum(t0z, t1z)
-                # current best decoded from the key (raw t bitcast)
+                # current best decoded from the key (raw t' bitcast)
                 tbest = bcf(keyc)
                 tlo = jnp.maximum(
-                    jnp.maximum(lox, loy), jnp.maximum(loz, jnp.float32(t_min))
+                    jnp.maximum(lox, loy), jnp.maximum(loz, jnp.float32(0.0))
                 )
                 thi = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, tbest))
                 any_hit = jnp.sum((thi > tlo).astype(jnp.float32)) > 0.0
@@ -989,9 +1028,17 @@ def build_bounce_tables(scene):
         else mesh_nrm[: rows_n + pad]
     )
     nrm_gather = nrm_pad.T.reshape(3 * n_pieces, 128)
+    # SMEM-resident scan tables ship FLAT: a 2-D (rows, C) SMEM window
+    # pads its minor dim to 128 lanes (measured: f32[6144,12] billed as
+    # 3.1 MB — an SMEM OOM for any dense mesh past ~1.5k rows), while a
+    # 1-D row stays 4·rows·C bytes. bw_smem appends the NEGATED normal
+    # row (cols 12–14) so the kernel's `num` is a pure seeded FMA chain.
+    bw_smem = jnp.concatenate([bw, -bw[:, :3]], axis=1).reshape(-1)
+    sl_smem = scene.ksl_bounds.reshape(-1)
     return dict(
         mesh_xf=mesh_xf, mesh_nrm=mesh_nrm, mesh_meta=mesh_meta,
         mat_tab=mat_tab, bw_gather=bw_gather, nrm_gather=nrm_gather,
+        bw_smem=bw_smem, sl_smem=sl_smem,
     )
 
 
@@ -1072,8 +1119,8 @@ def path_trace_pallas(
         rng_key,
         scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
         scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
-        tables["mesh_xf"], scene.kmesh_bw,
-        tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
+        tables["mesh_xf"], tables["bw_smem"],
+        tables["mesh_meta"], tables["mat_tab"], tables["sl_smem"],
         tables["bw_gather"], tables["nrm_gather"],
         *planes,
     )
@@ -1269,8 +1316,8 @@ def path_trace_wavefront(
             key3,
             scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
             scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
-            tables["mesh_xf"], scene.kmesh_bw,
-            tables["mesh_meta"], tables["mat_tab"], scene.ksl_bounds,
+            tables["mesh_xf"], tables["bw_smem"],
+            tables["mesh_meta"], tables["mat_tab"], tables["sl_smem"],
             tables["bw_gather"], tables["nrm_gather"],
             plane(ox), plane(oy), plane(oz), plane(dx), plane(dy), plane(dz),
             plane(uid), plane(tr), plane(tg), plane(tb),
