@@ -36,9 +36,19 @@ MT_EPSILON = 1e-4  # Möller–Trumbore parallel-ray epsilon (geometry.rs:335)
 # the scene compiler and intersect ops. RT_DENSE_MAX_TRIS overrides for
 # crossover measurement (tools/bench_teapot_6k.py) — read at import, so
 # set it before importing the package.
+#
+# Default raised 2048 → 8192 from the measured middle-tier crossover
+# (2026-08-17, v5e, tools/bench_teapot_6k.py): at 6,144 tris the dense
+# in-bounce scan runs 20.66 Mrays/s vs 11.81 through the SMEM-piece
+# big-mesh path (1.75×) — dense block rows auto-shrink 64→32 above 2048
+# tris to stay inside Mosaic's scoped-VMEM budget (bounce._auto_block_
+# rows). At 12,000 tris the piece path measures 8.36 and linear dense
+# scaling predicts ~10 at best with 16-row blocks — the crossover sits
+# near the 8192 SMEM-table bound (8192 tris × 12 BW floats = 393 KiB of
+# the 1 MiB SMEM), so the cap doubles as the table-budget guard.
 import os as _os
 
-DENSE_MESH_MAX_TRIS = int(_os.environ.get("RT_DENSE_MAX_TRIS", "2048"))
+DENSE_MESH_MAX_TRIS = int(_os.environ.get("RT_DENSE_MAX_TRIS", "8192"))
 
 
 @dataclasses.dataclass

@@ -97,6 +97,27 @@ def _block_rows_default() -> int:
     return int(os.environ.get("RT_BLOCK_ROWS", str(DEFAULT_BLOCK_ROWS)))
 
 
+def _auto_block_rows(total_dense_tris: int) -> int:
+    """Dense-scan block rows scaled by the scene's TOTAL padded dense-mesh
+    triangle count. The fully-unrolled 16-tri group bodies spill scoped
+    VMEM proportionally to block_rows × live state, and Mosaic's scoped
+    budget is fixed — measured on the 6,144-tri teapot (2026-08-17,
+    tools/bench_teapot_6k.py): 64 rows fails AOT compile (25.96M > 16M
+    scoped vmem), 32 rows runs at 20.66 Mrays/s (vs 11.81 through the
+    SMEM-piece big-mesh path — dense wins 1.75× at 6k). RT_BLOCK_ROWS
+    still overrides for sweeps."""
+    import os
+
+    env = os.environ.get("RT_BLOCK_ROWS")
+    if env is not None:
+        return int(env)
+    if total_dense_tris <= 2048:
+        return DEFAULT_BLOCK_ROWS
+    if total_dense_tris <= 8192:
+        return 32
+    return 16
+
+
 # Groups per fori step in the incoherent dense scan (see _build_bounce).
 # Measured on the official north-star dispatch (tools/sweep_dense_unroll,
 # 240-tri teapot, 64-row blocks): unroll 1 → 454.1 Mrays/s, 3 → 455.4,
@@ -1066,7 +1087,7 @@ def path_trace_pallas(
     Returns (radiance (N, 3), segments scalar).
     """
     if block_rows is None:
-        block_rows = _block_rows_default()
+        block_rows = _auto_block_rows(sum(c for _, c in scene.kmesh_ranges))
     if dense_unroll is None:
         dense_unroll = _dense_unroll_default()
     interpret = interpret or jax.default_backend() != "tpu"
@@ -1231,7 +1252,7 @@ def path_trace_wavefront(
     path_depth: int,
     max_trace_dist: float,
     t_min: float = 0.001,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_rows: int | None = None,
     interpret: bool = False,
     compact: bool = True,
 ):
@@ -1245,6 +1266,8 @@ def path_trace_wavefront(
     budget dies mid-path this converts directly into throughput.
     """
     interpret = interpret or jax.default_backend() != "tpu"
+    if block_rows is None:
+        block_rows = _auto_block_rows(sum(c for _, c in scene.kmesh_ranges))
     n = o.shape[0]
     block = block_rows * LANES
     n_pad = (n + block - 1) // block * block

@@ -414,7 +414,7 @@ def scene_intersect_pallas(
     t_min,
     t_max,
     u_vol,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_rows: int | None = None,
     interpret: bool = False,
 ):
     """Run the fused kernel over N rays.
@@ -428,6 +428,16 @@ def scene_intersect_pallas(
     means miss (t == t_max).
     """
     interpret = interpret or jax.default_backend() != "tpu"
+    if block_rows is None:
+        # same scoped-VMEM scaling rule as the mega-bounce kernel: the
+        # unrolled dense scan's spill grows with block_rows × dense tris
+        # (see bounce._auto_block_rows for the 6k-teapot measurements)
+        from cs397raytracingsp22_tpu.ops.pallas.bounce import _auto_block_rows
+
+        block_rows = min(
+            DEFAULT_BLOCK_ROWS,
+            _auto_block_rows(sum(c for _, c in scene.kmesh_ranges)),
+        )
     counts = dict(
         n_sph=scene.n_spheres,
         n_pln=scene.n_planes,

@@ -144,3 +144,74 @@ def test_wavefront_matches_full_kernel(bench_like_scene):
     np.testing.assert_allclose(
         np.asarray(wf2_rad), np.asarray(wf_rad), rtol=1e-5, atol=1e-6
     )
+
+
+def test_auto_block_rows_schedule():
+    """The scoped-VMEM block-rows schedule (measured 2026-08-17, v5e:
+    64 rows OOMs AOT compile above 2048 dense tris; 32 rows runs a
+    6,144-tri mesh at 20.66 Mrays/s)."""
+    assert bounce._auto_block_rows(240) == bounce.DEFAULT_BLOCK_ROWS
+    assert bounce._auto_block_rows(2048) == bounce.DEFAULT_BLOCK_ROWS
+    assert bounce._auto_block_rows(2049) == 32
+    assert bounce._auto_block_rows(8192) == 32
+    assert bounce._auto_block_rows(8193) == 16
+
+
+@pytest.mark.slow
+def test_kernel_middle_tier_dense_mesh():
+    """A >2048-tri dense mesh (the raised DENSE_MESH_MAX_TRIS middle
+    tier) through the mega kernel: exercises the auto 32-row block path
+    and the multi-superleaf scan at a size the old 2048 cap excluded."""
+    from cs397raytracingsp22_tpu import Camera, Lambertian, Scene, Sphere
+    from cs397raytracingsp22_tpu.ops.bvh import DENSE_MESH_MAX_TRIS
+    from tests.test_mesh import make_mesh
+
+    # procedural bumpy grid: 36×36 quads = 2,592 triangles
+    g = 36
+    xs = np.linspace(-1.2, 1.2, g + 1, dtype=np.float32)
+    px, pz = np.meshgrid(xs, xs, indexing="ij")
+    py = 0.25 * np.sin(3.0 * px) * np.cos(3.0 * pz)
+    positions = np.stack([px, py, pz], axis=-1).reshape(-1, 3)
+    vid = np.arange((g + 1) * (g + 1), dtype=np.int32).reshape(g + 1, g + 1)
+    a = vid[:-1, :-1].ravel()
+    b = vid[1:, :-1].ravel()
+    c = vid[1:, 1:].ravel()
+    d4 = vid[:-1, 1:].ravel()
+    faces = np.concatenate(
+        [np.stack([a, b, c], axis=-1), np.stack([a, c, d4], axis=-1)]
+    )
+    assert 2048 < len(faces) <= DENSE_MESH_MAX_TRIS
+    mesh = make_mesh(positions, faces,
+                     material=Lambertian(albedo=(0.6, 0.5, 0.4)))
+
+    cam = Camera(
+        eyepoint=(0.0, 1.6, 3.2), view_dir=(0.0, -0.45, -1.0),
+        screen_width=8, screen_height=8, aa_sample_count=1,
+        path_depth=3, path_samples=1,
+    )
+    light = Sphere(center=(0.0, 3.0, 0.0), radius=0.8,
+                   material=Lambertian(albedo=(1.0, 1.0, 1.0),
+                                       emission=(5.0, 5.0, 5.0)))
+    scene = Scene(camera=cam, objects=[mesh, light])
+    data = scene.compile()
+    assert bounce.scene_is_simple(data)
+    assert bounce._auto_block_rows(sum(c_ for _, c_ in data.kmesh_ranges)) == 32
+
+    tables = bounce.build_bounce_tables(data)
+    n = 64
+    key = threefry.key_words(9)
+    o, d = cam.generate_rays(key, jnp.arange(n, dtype=jnp.int32), spp=1)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    uids = jnp.arange(n, dtype=jnp.int32)
+
+    ref_rad, ref_segs = integrator.path_trace(
+        data, o, d, uids, key, 3, cam.max_trace_dist
+    )
+    out_rad, out_segs = bounce.path_trace_pallas(
+        data, tables, o, d, uids, key, 3, cam.max_trace_dist
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_rad), np.asarray(ref_rad), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(float(out_segs), float(ref_segs))

@@ -19,7 +19,7 @@ from cs397raytracingsp22_tpu.utils import threefry
 def _big_mesh_scene(tmp_path):
     """A scene whose mesh exceeds DENSE_MESH_MAX_TRIS → big-mesh path."""
     rng = np.random.default_rng(5)
-    n_quads = 1100  # 2200 tris > 2048
+    n_quads = 4200  # 8400 tris > 8192 (DENSE_MESH_MAX_TRIS)
     obj = ["# synthetic"]
     for i in range(n_quads):
         c = rng.uniform(-1.0, 1.0, 3)

@@ -5,8 +5,14 @@ RT_DENSE_MAX_TRIS) and the big-mesh SMEM-piece scan — to locate the
 dense-vs-piece crossover that DENSE_MESH_MAX_TRIS encodes.
 
 Run twice (the constant is read at package import):
-    python tools/bench_teapot_6k.py            # big path (default 2048)
-    RT_DENSE_MAX_TRIS=8192 python tools/bench_teapot_6k.py   # dense path
+    python tools/bench_teapot_6k.py                     # dense (default 8192)
+    RT_DENSE_MAX_TRIS=512 python tools/bench_teapot_6k.py   # piece-scan path
+
+Measured 2026-08-17 (v5e, 512²×64spp chunks, depth 8): 6,144 tris →
+dense 20.66 Mrays/s (32-row blocks, auto) vs piece-scan 11.81; 12,000
+tris → piece-scan 8.36, dense needs ≤16-row blocks (AOT scoped-VMEM).
+These numbers set DENSE_MESH_MAX_TRIS = 8192 and the _auto_block_rows
+schedule in ops/pallas/bounce.py.
 """
 
 import json
