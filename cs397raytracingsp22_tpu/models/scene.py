@@ -387,11 +387,29 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
 
     from cs397raytracingsp22_tpu.ops.bvh import DENSE_MESH_MAX_TRIS
 
-    dense_ids = tuple(
-        i
-        for i, m in enumerate(mesh_blocks)
-        if m.tri_verts.shape[0] <= DENSE_MESH_MAX_TRIS
+    # DENSE_MESH_MAX_TRIS bounds BOTH the per-mesh size and the TOTAL
+    # over all dense meshes: the concatenated scan tables live in the
+    # 1 MiB SMEM (bw rows are 15 floats in the mega kernel — 8192 rows
+    # = 491 KiB) and the in-bounce scan cost is linear in the total.
+    # Smallest meshes are admitted first (they gain the most from the
+    # dense path); the rest take the big-mesh piece-scan path.
+    _cand = sorted(
+        (
+            i
+            for i, m in enumerate(mesh_blocks)
+            if m.tri_verts.shape[0] <= DENSE_MESH_MAX_TRIS
+        ),
+        key=lambda i: int(mesh_blocks[i].tri_verts.shape[0]),
     )
+    _chosen = []
+    _total = 0
+    for i in _cand:
+        nt_pad = (int(mesh_blocks[i].tri_verts.shape[0]) + 15) // 16 * 16
+        if _total + nt_pad > DENSE_MESH_MAX_TRIS:
+            break
+        _chosen.append(i)
+        _total += nt_pad
+    dense_ids = tuple(sorted(_chosen))
     mesh_xf = np.zeros((max(1, len(dense_ids)), 12), np.float32)
     ranges = []
     real_counts = []

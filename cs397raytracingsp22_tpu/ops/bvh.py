@@ -44,8 +44,10 @@ MT_EPSILON = 1e-4  # Möller–Trumbore parallel-ray epsilon (geometry.rs:335)
 # tris to stay inside Mosaic's scoped-VMEM budget (bounce._auto_block_
 # rows). At 12,000 tris the piece path measures 8.36 and linear dense
 # scaling predicts ~10 at best with 16-row blocks — the crossover sits
-# near the 8192 SMEM-table bound (8192 tris × 12 BW floats = 393 KiB of
-# the 1 MiB SMEM), so the cap doubles as the table-budget guard.
+# near the 8192 SMEM-table bound (8192 rows × 15 scan floats = 491 KiB
+# of the 1 MiB SMEM). The cap bounds the TOTAL over all dense meshes
+# (scene.py admits smallest-first up to the budget), so it doubles as
+# the table-budget guard.
 import os as _os
 
 DENSE_MESH_MAX_TRIS = int(_os.environ.get("RT_DENSE_MAX_TRIS", "8192"))

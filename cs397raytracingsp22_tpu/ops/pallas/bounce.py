@@ -1304,6 +1304,7 @@ def path_trace_wavefront(
         sl_ranges=scene.ksl_ranges,
         n_mat=int(scene.mat_type.shape[0]),
         mat_present=scene.mat_types_present,
+        dense_unroll=_dense_unroll_default(),
     )
     kernel = _make_step_kernel(
         counts, t_min=t_min, max_dist=max_trace_dist, exact_recip=interpret

@@ -288,18 +288,22 @@ def _make_kernel(counts, exact_recip=False):
 
         for mi, (start, count) in enumerate(mesh_ranges):
             # inverse transform (scalars): o' = R*o + tr, d' = R*d
-            r00 = mesh_xf[mi, 0]
-            r01 = mesh_xf[mi, 1]
-            r02 = mesh_xf[mi, 2]
-            r10 = mesh_xf[mi, 3]
-            r11 = mesh_xf[mi, 4]
-            r12 = mesh_xf[mi, 5]
-            r20 = mesh_xf[mi, 6]
-            r21 = mesh_xf[mi, 7]
-            r22 = mesh_xf[mi, 8]
-            tx = mesh_xf[mi, 9]
-            ty = mesh_xf[mi, 10]
-            tz = mesh_xf[mi, 11]
+            # (tables arrive FLATTENED 1-D: a 2-D (rows, C) SMEM window
+            # pads its minor dim to 128 lanes — f32[6144,12] would bill
+            # ~3.1 MB against the 1 MiB SMEM; same fix as bounce.py)
+            xb = mi * 12
+            r00 = mesh_xf[xb + 0]
+            r01 = mesh_xf[xb + 1]
+            r02 = mesh_xf[xb + 2]
+            r10 = mesh_xf[xb + 3]
+            r11 = mesh_xf[xb + 4]
+            r12 = mesh_xf[xb + 5]
+            r20 = mesh_xf[xb + 6]
+            r21 = mesh_xf[xb + 7]
+            r22 = mesh_xf[xb + 8]
+            tx = mesh_xf[xb + 9]
+            ty = mesh_xf[xb + 10]
+            tz = mesh_xf[xb + 11]
             mox = r00 * oxv + r01 * oyv + r02 * ozv + tx
             moy = r10 * oxv + r11 * oyv + r12 * ozv + ty
             moz = r20 * oxv + r21 * oyv + r22 * ozv + tz
@@ -310,11 +314,12 @@ def _make_kernel(counts, exact_recip=False):
             def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
                           mdx=mdx, mdy=mdy, mdz=mdz):
                 key, widx = packed
-                b0 = mesh_bw[i, 0]
-                b1 = mesh_bw[i, 1]
-                b2 = mesh_bw[i, 2]
+                rb = i * 12
+                b0 = mesh_bw[rb + 0]
+                b1 = mesh_bw[rb + 1]
+                b2 = mesh_bw[rb + 2]
                 den = b0 * mdx + b1 * mdy + b2 * mdz
-                num = mesh_bw[i, 3] - (b0 * mox + b1 * moy + b2 * moz)
+                num = mesh_bw[rb + 3] - (b0 * mox + b1 * moy + b2 * moz)
                 if exact_recip:
                     t = num / jnp.where(den == 0.0, 1e-30, den)
                 else:
@@ -322,10 +327,10 @@ def _make_kernel(counts, exact_recip=False):
                 px = mox + t * mdx
                 py = moy + t * mdy
                 pz = moz + t * mdz
-                u = (mesh_bw[i, 4] * px + mesh_bw[i, 5] * py
-                     + mesh_bw[i, 6] * pz + mesh_bw[i, 7])
-                v = (mesh_bw[i, 8] * px + mesh_bw[i, 9] * py
-                     + mesh_bw[i, 10] * pz + mesh_bw[i, 11])
+                u = (mesh_bw[rb + 4] * px + mesh_bw[rb + 5] * py
+                     + mesh_bw[rb + 6] * pz + mesh_bw[rb + 7])
+                v = (mesh_bw[rb + 8] * px + mesh_bw[rb + 9] * py
+                     + mesh_bw[rb + 10] * pz + mesh_bw[rb + 11])
                 rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - t_min))
                 rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
                 cand = jnp.where(rej < 0, INTMAX, bci(t))
@@ -356,13 +361,13 @@ def _make_kernel(counts, exact_recip=False):
             def sl_body(s, packed, mox=mox, moy=moy, moz=moz,
                         inv_mdx=inv_mdx, inv_mdy=inv_mdy, inv_mdz=inv_mdz,
                         group_body=group_body, sl_first=sl_first):
-                row = sl_first + s
-                t0x = (sl_bounds[row, 0] - mox) * inv_mdx
-                t1x = (sl_bounds[row, 3] - mox) * inv_mdx
-                t0y = (sl_bounds[row, 1] - moy) * inv_mdy
-                t1y = (sl_bounds[row, 4] - moy) * inv_mdy
-                t0z = (sl_bounds[row, 2] - moz) * inv_mdz
-                t1z = (sl_bounds[row, 5] - moz) * inv_mdz
+                row = (sl_first + s) * 6
+                t0x = (sl_bounds[row + 0] - mox) * inv_mdx
+                t1x = (sl_bounds[row + 3] - mox) * inv_mdx
+                t0y = (sl_bounds[row + 1] - moy) * inv_mdy
+                t1y = (sl_bounds[row + 4] - moy) * inv_mdy
+                t0z = (sl_bounds[row + 2] - moz) * inv_mdz
+                t1z = (sl_bounds[row + 5] - moz) * inv_mdz
                 tlo = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                     jnp.maximum(jnp.minimum(t0z, t1z), t_min),
@@ -431,13 +436,12 @@ def scene_intersect_pallas(
     if block_rows is None:
         # same scoped-VMEM scaling rule as the mega-bounce kernel: the
         # unrolled dense scan's spill grows with block_rows × dense tris
-        # (see bounce._auto_block_rows for the 6k-teapot measurements)
+        # (see bounce._auto_block_rows for the 6k-teapot measurements).
+        # RT_BLOCK_ROWS wins outright inside _auto_block_rows, same as
+        # the bounce kernel, so sweeps measure what they set.
         from cs397raytracingsp22_tpu.ops.pallas.bounce import _auto_block_rows
 
-        block_rows = min(
-            DEFAULT_BLOCK_ROWS,
-            _auto_block_rows(sum(c for _, c in scene.kmesh_ranges)),
-        )
+        block_rows = _auto_block_rows(sum(c for _, c in scene.kmesh_ranges))
     counts = dict(
         n_sph=scene.n_spheres,
         n_pln=scene.n_planes,
@@ -483,7 +487,10 @@ def scene_intersect_pallas(
         scene.kpln_f, scene.kpln_m,
         scene.ktri_f, scene.ktri_m,
         scene.kvol_f, scene.kvol_m,
-        scene.kmesh_xf, scene.kmesh_bw, scene.ksl_bounds,
+        # mesh tables flattened to 1-D: 2-D SMEM windows pad the minor
+        # dim to 128 lanes (f32[6144,12] bills ~3.1 MB vs 1 MiB SMEM)
+        scene.kmesh_xf.reshape(-1), scene.kmesh_bw.reshape(-1),
+        scene.ksl_bounds.reshape(-1),
         *ray_planes, *uvol_planes,
     )
     t, code, idx, mat_id, u, v, nx, ny, nz, ff = [

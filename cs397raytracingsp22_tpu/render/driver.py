@@ -311,7 +311,12 @@ def render_to_image(
     spp_chunk = min(spp_chunk, spp)
 
     rng_key = threefry.key_words(seed)
-    multiproc = jax.process_count() > 1
+    # Multi-process handling (global arrays, per-host gathers) only
+    # applies when rendering over a device mesh; a plain mesh-less call
+    # from a multi-process job renders its full local image with
+    # ordinary per-process arrays, and gathering those would duplicate
+    # every row process_count times.
+    multiproc = jax.process_count() > 1 and mesh is not None
 
     if mesh is not None:
         from cs397raytracingsp22_tpu.parallel import sharding as _sharding
@@ -422,6 +427,17 @@ def render_to_image(
         if ckpt["accum"].shape == (n_px_total, 3) and int(ckpt["seed"]) == seed:
             resume_accum = ckpt["accum"].astype(np.float32)
             spp_done = int(ckpt["spp_done"])
+            if mesh is not None and spp_done % int(mesh.shape["sp"]):
+                # every sharded dispatch splits its spp over the sp axis,
+                # so the remaining spp - spp_done must be coverable by
+                # sp-divisible chunks; a checkpoint written on a device
+                # config with a different sp alignment can't be
+                raise ValueError(
+                    f"checkpoint at spp_done={spp_done} is not divisible"
+                    f" by this mesh's sp axis ({int(mesh.shape['sp'])});"
+                    " resume on the original device configuration or"
+                    " finish the render without an sp axis"
+                )
             if verbose:
                 print(f"[render] resuming from {checkpoint_path} at {spp_done} spp")
 

@@ -215,3 +215,41 @@ def test_kernel_middle_tier_dense_mesh():
         np.asarray(out_rad), np.asarray(ref_rad), rtol=1e-3, atol=1e-4
     )
     np.testing.assert_allclose(float(out_segs), float(ref_segs))
+
+
+def test_dense_budget_is_total_not_per_mesh():
+    """Several per-mesh-admissible meshes must not overflow the SMEM
+    scan-table budget: dense admission is smallest-first up to
+    DENSE_MESH_MAX_TRIS TOTAL padded rows; the rest take the big path."""
+    from cs397raytracingsp22_tpu import Camera, Lambertian, Scene
+    from cs397raytracingsp22_tpu.ops.bvh import DENSE_MESH_MAX_TRIS
+    from tests.test_mesh import make_mesh
+
+    def grid_mesh(g, dz):
+        xs = np.linspace(-1.0, 1.0, g + 1, dtype=np.float32)
+        px, pz = np.meshgrid(xs, xs, indexing="ij")
+        positions = np.stack(
+            [px, np.zeros_like(px), pz + dz], axis=-1
+        ).reshape(-1, 3)
+        vid = np.arange((g + 1) * (g + 1), dtype=np.int32).reshape(g + 1, g + 1)
+        a, b = vid[:-1, :-1].ravel(), vid[1:, :-1].ravel()
+        c, d4 = vid[1:, 1:].ravel(), vid[:-1, 1:].ravel()
+        faces = np.concatenate(
+            [np.stack([a, b, c], axis=-1), np.stack([a, c, d4], axis=-1)]
+        )
+        return make_mesh(positions, faces,
+                         material=Lambertian(albedo=(0.5, 0.5, 0.5)))
+
+    # three 5,000-tri meshes: each under the 8192 per-mesh cap, total
+    # 15,000 over the budget → only one admitted dense
+    meshes = [grid_mesh(50, dz) for dz in (-2.0, 0.0, 2.0)]  # 5000 tris each
+    cam = Camera(eyepoint=(0, 2, 5), view_dir=(0, -0.3, -1),
+                 screen_width=4, screen_height=4, aa_sample_count=1)
+    data = Scene(camera=cam, objects=meshes).compile()
+    n_dense = len(data.dense_mesh_ids)
+    total = sum(
+        (int(data.meshes[i].tri_verts.shape[0]) + 15) // 16 * 16
+        for i in data.dense_mesh_ids
+    )
+    assert total <= DENSE_MESH_MAX_TRIS
+    assert n_dense == 1 and len(data.meshes) == 3
