@@ -168,19 +168,24 @@ def _threefry2x32(k0, k1, c0, c1):
     return x0, x1
 
 
-def _uniforms(k0, k1, uid_u32, site_u32, m):
-    """m uniform tiles for draw site — same counters as
-    threefry.counter_uniforms."""
+def _uniforms(k0, k1, uid_u32, site_u32, m, first=0):
+    """Uniform tiles [first, first+m) for draw site — same counters as
+    threefry.counter_uniforms (draw index i lives in counter block
+    i // 2), so a caller that needs only a tail of the site's draws
+    (e.g. the last bounce's volume free-flight samples) skips the
+    leading Threefry blocks while producing bit-identical values."""
     out = []
     base = site_u32 << jnp.uint32(16)
     scale = jnp.float32(2.0**-24)
-    for blk in range((m + 1) // 2):
+    b0 = first // 2
+    for blk in range(b0, (first + m + 1) // 2):
         x0, x1 = _threefry2x32(k0, k1, uid_u32, base + jnp.uint32(blk))
         # uint32 >> 8 fits in 24 bits → exact via int32 (Mosaic has no
         # direct uint32→float32 cast)
         out.append((x0 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * scale)
         out.append((x1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * scale)
-    return out[:m]
+    lo = first - 2 * b0
+    return out[lo : lo + m]
 
 
 def scene_is_simple(scene) -> bool:
@@ -202,12 +207,17 @@ def scene_is_simple(scene) -> bool:
 def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                   tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
                   mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
-                  primary=False, exact_recip=False):
+                  primary=False, exact_recip=False, last=False):
     """Build the single-bounce update used by both the full-loop kernel
     and the per-bounce wavefront step kernel. `site_u32` is the RNG draw
     site (SITE_BOUNCE0 + depth), scalar. `primary` marks a bounce whose
     rays are coherent camera rays: superleaf culling is enabled there
-    (and for big meshes at any depth — see SL_MIN_TRIS_DEEP)."""
+    (and for big meshes at any depth — see SL_MIN_TRIS_DEEP). `last`
+    marks the final bounce: its scatter can never be traced, so the
+    winner gather, normals, scatter RNG, BSDF switch, and throughput
+    update are all compiled out — only emission accumulation remains
+    (bit-identical radiance; the volume free-flight draws keep their
+    counters via _uniforms(first=4))."""
     n_sph = counts["n_sph"]
     n_pln = counts["n_pln"]
     n_tri = counts["n_tri"]
@@ -352,9 +362,13 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
 
         # bounce RNG (drawn before volumes need it): 4 + n_vol uniforms
         # — exactly the draws _bounce_draws makes (2 Threefry calls when
-        # the scene has no volumes)
+        # the scene has no volumes). The last bounce draws only the
+        # volume tail (same counters → bit-identical free flight).
         site = site_u32
-        us = _uniforms(k0, k1, uid_u, site, 4 + n_vol)
+        if last:
+            us = [None] * 4 + _uniforms(k0, k1, uid_u, site, n_vol, first=4)
+        else:
+            us = _uniforms(k0, k1, uid_u, site, 4 + n_vol)
 
         for vi in range(n_vol):
             cx = vol_f[vi, 0]
@@ -626,6 +640,21 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         if n_mesh:
             mesh_won = key < key0
 
+            # winner mesh membership + material/code (all the last
+            # bounce needs from a mesh hit: emission lookup key)
+            in_mi_list = []
+            for mi, (start, count) in enumerate(mesh_ranges):
+                if n_mesh == 1:
+                    in_mi = mesh_won
+                else:
+                    lo16 = start
+                    hi16 = start + ((count + 15) // 16) * 16
+                    in_mi = mesh_won & (widx >= lo16) & (widx < hi16)
+                in_mi_list.append(in_mi)
+                mat = jnp.where(in_mi, mesh_meta[mi], mat)
+                code = jnp.where(in_mi, 4 + mi, code)
+
+        if n_mesh and not last:
             lane = widx & 127
             piece = widx >> 7
             n_pieces = bw_v.shape[0] // 12
@@ -647,15 +676,8 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             mdxw = fzero
             mdyw = fzero
             mdzw = fzero
-            in_mi_list = []
             for mi, (start, count) in enumerate(mesh_ranges):
-                if n_mesh == 1:
-                    in_mi = mesh_won
-                else:
-                    lo16 = start
-                    hi16 = start + ((count + 15) // 16) * 16
-                    in_mi = mesh_won & (widx >= lo16) & (widx < hi16)
-                in_mi_list.append(in_mi)
+                in_mi = in_mi_list[mi]
                 r00 = mesh_xf[mi, 0]
                 r01 = mesh_xf[mi, 1]
                 r02 = mesh_xf[mi, 2]
@@ -677,8 +699,6 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 mdxw = jnp.where(in_mi, mdx, mdxw)
                 mdyw = jnp.where(in_mi, mdy, mdyw)
                 mdzw = jnp.where(in_mi, mdz, mdzw)
-                mat = jnp.where(in_mi, mesh_meta[mi], mat)
-                code = jnp.where(in_mi, 4 + mi, code)
 
             # exact winner t from the gathered Baldwin–Weber normal row
             # (one true divide per bounce): hit points never carry the
@@ -745,28 +765,37 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         hit_valid = code >= 0
 
         # ---------------- material resolve ----------------
-        mtype = izero
-        alb_r = fzero
-        alb_g = fzero
-        alb_b = fzero
         emi_r = fzero
         emi_g = fzero
         emi_b = fzero
-        rough = fzero
-        metal = fzero
-        ior = jnp.full(shape, 1.5, jnp.float32)
-        for m in range(n_mat):
-            msk = mat == m
-            mtype = jnp.where(msk, mat_tab[m, 0].astype(jnp.int32), mtype)
-            alb_r = jnp.where(msk, mat_tab[m, 1], alb_r)
-            alb_g = jnp.where(msk, mat_tab[m, 2], alb_g)
-            alb_b = jnp.where(msk, mat_tab[m, 3], alb_b)
-            emi_r = jnp.where(msk, mat_tab[m, 4], emi_r)
-            emi_g = jnp.where(msk, mat_tab[m, 5], emi_g)
-            emi_b = jnp.where(msk, mat_tab[m, 6], emi_b)
-            rough = jnp.where(msk, mat_tab[m, 7], rough)
-            metal = jnp.where(msk, mat_tab[m, 8], metal)
-            ior = jnp.where(msk, mat_tab[m, 9], ior)
+        if last:
+            # final bounce: its scatter is never traced, so only the
+            # emission columns matter
+            for m in range(n_mat):
+                msk = mat == m
+                emi_r = jnp.where(msk, mat_tab[m, 4], emi_r)
+                emi_g = jnp.where(msk, mat_tab[m, 5], emi_g)
+                emi_b = jnp.where(msk, mat_tab[m, 6], emi_b)
+        else:
+            mtype = izero
+            alb_r = fzero
+            alb_g = fzero
+            alb_b = fzero
+            rough = fzero
+            metal = fzero
+            ior = jnp.full(shape, 1.5, jnp.float32)
+            for m in range(n_mat):
+                msk = mat == m
+                mtype = jnp.where(msk, mat_tab[m, 0].astype(jnp.int32), mtype)
+                alb_r = jnp.where(msk, mat_tab[m, 1], alb_r)
+                alb_g = jnp.where(msk, mat_tab[m, 2], alb_g)
+                alb_b = jnp.where(msk, mat_tab[m, 3], alb_b)
+                emi_r = jnp.where(msk, mat_tab[m, 4], emi_r)
+                emi_g = jnp.where(msk, mat_tab[m, 5], emi_g)
+                emi_b = jnp.where(msk, mat_tab[m, 6], emi_b)
+                rough = jnp.where(msk, mat_tab[m, 7], rough)
+                metal = jnp.where(msk, mat_tab[m, 8], metal)
+                ior = jnp.where(msk, mat_tab[m, 9], ior)
 
         # ---------------- shading update ----------------
         live_hit = alive & hit_valid
@@ -775,6 +804,11 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         rr = rr + jnp.where(live_hit, tr * emi_r, 0.0)
         rg = rg + jnp.where(live_hit, tg * emi_g, 0.0)
         rb = rb + jnp.where(live_hit, tb * emi_b, 0.0)
+
+        if last:
+            segs = segs + alive.astype(jnp.float32)
+            return (sox, soy, soz, sdx, sdy, sdz,
+                    tr, tg, tb, rr, rg, rb, live_hit, segs)
 
         # hitpoint (affine-invariant: o + t*d for every class)
         px = sox + best_t * sdx
@@ -961,16 +995,19 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist, exact_recip=False):
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
             mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
         )
-        bounce0 = _build_bounce(*common, primary=True, exact_recip=exact_recip)
-        bounce_n = _build_bounce(*common, primary=False,
-                                 exact_recip=exact_recip)
-
         # Unrolled: path_depth is static, and Mosaic cannot legalize an
         # scf.for with this carry structure (bool + 14 vectors). Unrolling
         # also lets the compiler specialize bounce 0 (throughput == 1,
-        # coherent camera rays → superleaf culling on).
+        # coherent camera rays → superleaf culling on) and the LAST
+        # bounce (scatter never traced → winner gather/BSDF/scatter RNG
+        # compiled out, bit-identical radiance).
         for depth in range(path_depth):
-            b = bounce0 if depth == 0 else bounce_n
+            b = _build_bounce(
+                *common,
+                primary=depth == 0,
+                exact_recip=exact_recip,
+                last=depth == path_depth - 1,
+            )
             state = b(jnp.uint32(SITE_BOUNCE0 + depth), state)
         (_, _, _, _, _, _, _, _, _, rr, rg, rb, _, segs) = state
         rad_r[:] = rr

@@ -253,3 +253,20 @@ def test_dense_budget_is_total_not_per_mesh():
     )
     assert total <= DENSE_MESH_MAX_TRIS
     assert n_dense == 1 and len(data.meshes) == 3
+
+
+def test_uniforms_tail_counters_match():
+    """_uniforms(first=k) must reproduce exactly the tail of the full
+    draw sequence (the last bounce skips the scatter draws but the
+    volume free-flight draws keep their counters)."""
+    k0 = jnp.uint32(0x12345678)
+    k1 = jnp.uint32(0x9ABCDEF0)
+    uid = jnp.full((2, 4), 7, jnp.uint32)
+    site = jnp.uint32(11)
+    full = bounce._uniforms(k0, k1, uid, site, 7)
+    tail = bounce._uniforms(k0, k1, uid, site, 3, first=4)
+    for a, b in zip(full[4:7], tail):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    odd = bounce._uniforms(k0, k1, uid, site, 2, first=3)
+    for a, b in zip(full[3:5], odd):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
