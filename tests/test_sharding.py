@@ -128,3 +128,26 @@ def test_sharded_big_mesh_scene_matches_single_device():
         np.testing.assert_array_equal(np.asarray(ref_sum), np.asarray(out_sum))
     finally:
         os.unlink(obj_path)
+
+
+def test_resume_misaligned_spp_raises(small_scene, tmp_path):
+    """A checkpoint whose spp_done is not divisible by the mesh's sp
+    axis cannot be finished with sp-divisible chunks — the driver must
+    refuse with a clear error, not trip a deep kernel assert."""
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+
+    scene, data = small_scene
+    ckpt = str(tmp_path / "r.npz")
+    n_px = scene.camera.screen_width * scene.camera.screen_height
+    np.savez(
+        ckpt,
+        accum=np.zeros((n_px, 3), np.float64),
+        spp_done=np.int64(3),  # not divisible by sp=2
+        seed=np.int64(4),
+    )
+    mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
+    with pytest.raises(ValueError, match="sp axis"):
+        render_to_image(
+            scene, seed=4, verbose=False, scene_data=data,
+            mesh=mesh, checkpoint_path=ckpt,
+        )

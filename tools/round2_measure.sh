@@ -46,4 +46,7 @@ print("mean|diff|", d.mean(), "frac>0", (d > 0).mean(), "max", d.max())
 assert d.mean() < 0.05, "artifact drift!"
 EOF
 
+say "STEP 8: config-5 FULL spec re-measure (1024^2 x 1000spp x depth 10; round-1 wall 2387 s pre-retune, target < 600 s)"
+run 5400 python tools/make_artifacts.py config5_demo_1024_1000spp_tpu.png
+
 say "DONE — see $LOG"
