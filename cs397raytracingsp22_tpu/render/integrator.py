@@ -102,6 +102,73 @@ def _coherence_key(o, d, alive):
     )
 
 
+def _sort_state(o, d, thr, rad, uids, pos, alive):
+    """Coherence sort of the full wavefront state (dead rays last, then
+    the position-major Morton key): the ONE multi-operand `lax.sort`
+    every executor shares — XLA scatter compaction measured 13.8×
+    slower, so sorting is the only reordering primitive used. The
+    content-keyed RNG (uids travel with the rays) makes any permutation
+    produce bit-identical radiance."""
+    key = _coherence_key(o, d, alive)
+    (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_,
+     rr_, rg_, rb_, uid_, pos_, al_) = jax.lax.sort(
+        [key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         thr[:, 0], thr[:, 1], thr[:, 2],
+         rad[:, 0], rad[:, 1], rad[:, 2],
+         uids, pos, alive.astype(jnp.int32)],
+        num_keys=1,
+    )
+    return (
+        jnp.stack([ox_, oy_, oz_], axis=-1),
+        jnp.stack([dx_, dy_, dz_], axis=-1),
+        jnp.stack([tr_, tg_, tb_], axis=-1),
+        jnp.stack([rr_, rg_, rb_], axis=-1),
+        uid_,
+        pos_,
+        al_ > 0,
+    )
+
+
+def _bounce_update(scene, o, d, thr, rad, alive, uids, rng_key, site,
+                   max_trace_dist):
+    """The estimator body for ONE bounce (tracing.rs:300-324), shared
+    verbatim by every executor (path_trace's fori body, the shrink
+    executor's staged step) so their bit-identity contract is enforced
+    by construction rather than by parallel edits. Returns the updated
+    (o, d, thr, rad, live_hit, segs-this-bounce)."""
+    ball, u_choice, u_vol = _bounce_draws(scene, rng_key, uids, site)
+    # dead rays get an empty [t_min, 0] window: every primitive test
+    # rejects and — decisively — the big-mesh kernel's slab conds see
+    # an empty interval, so sorted-dead blocks skip all pieces.
+    t_max = jnp.where(alive, jnp.float32(max_trace_dist), 0.0)
+    hit = intersect_scene(scene, o, d, PATH_T_MIN, t_max, u_vol)
+
+    live_hit = alive & hit.valid
+    live_miss = alive & ~hit.valid
+
+    # Miss: background·throughput, then die (tracing.rs:306).
+    rad = rad + jnp.where(live_miss[:, None], thr * background_color(d), 0.0)
+
+    # Hit: emission + scatter (tracing.rs:307-322).
+    new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
+    # dot_term: |new_dir · n| clamped to [0,1]; forced to 1 for
+    # zero-normal volume hits (tracing.rs:313).
+    has_normal = vm.magnitude2(hit.normal) > 0.0
+    dot_term = jnp.where(
+        has_normal,
+        jnp.clip(jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0),
+        1.0,
+    )
+    factor = (dot_term / pdf)[:, None] * att
+
+    rad = rad + jnp.where(live_hit[:, None], thr * hit.emission, 0.0)
+    thr = jnp.where(live_hit[:, None], thr * factor, thr)
+    o = jnp.where(live_hit[:, None], hit.point, o)
+    d = jnp.where(live_hit[:, None], new_dir, d)
+    segs = jnp.sum(alive.astype(jnp.float32))
+    return o, d, thr, rad, live_hit, segs
+
+
 def path_trace(
     scene: SceneData,
     o: jnp.ndarray,
@@ -146,57 +213,14 @@ def path_trace(
     def bounce(depth, state):
         o, d, thr, rad, alive, uids, pos, segs = state
         if sort_rays:
-            key = _coherence_key(o, d, alive)
-            (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_,
-             rr_, rg_, rb_, uid_, pos_, al_) = jax.lax.sort(
-                [key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                 thr[:, 0], thr[:, 1], thr[:, 2],
-                 rad[:, 0], rad[:, 1], rad[:, 2],
-                 uids, pos, alive.astype(jnp.int32)],
-                num_keys=1,
+            o, d, thr, rad, uids, pos, alive = _sort_state(
+                o, d, thr, rad, uids, pos, alive
             )
-            o = jnp.stack([ox_, oy_, oz_], axis=-1)
-            d = jnp.stack([dx_, dy_, dz_], axis=-1)
-            thr = jnp.stack([tr_, tg_, tb_], axis=-1)
-            rad = jnp.stack([rr_, rg_, rb_], axis=-1)
-            uids = uid_
-            pos = pos_
-            alive = al_ > 0
-        ball, u_choice, u_vol = _bounce_draws(
-            scene, rng_key, uids, rnglib.SITE_BOUNCE0 + depth
+        o, d, thr, rad, live_hit, segs_b = _bounce_update(
+            scene, o, d, thr, rad, alive, uids, rng_key,
+            rnglib.SITE_BOUNCE0 + depth, max_trace_dist,
         )
-        # dead rays get an empty [t_min, 0] window: every primitive test
-        # rejects and — decisively — the big-mesh kernel's slab conds see
-        # an empty interval, so sorted-dead blocks skip all pieces.
-        t_max = jnp.where(alive, jnp.float32(max_trace_dist), 0.0)
-        hit = intersect_scene(scene, o, d, PATH_T_MIN, t_max, u_vol)
-
-        live_hit = alive & hit.valid
-        live_miss = alive & ~hit.valid
-
-        # Miss: background·throughput, then die (tracing.rs:306).
-        rad = rad + jnp.where(
-            live_miss[:, None], thr * background_color(d), 0.0
-        )
-
-        # Hit: emission + scatter (tracing.rs:307-322).
-        new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
-        # dot_term: |new_dir · n| clamped to [0,1]; forced to 1 for
-        # zero-normal volume hits (tracing.rs:313).
-        has_normal = vm.magnitude2(hit.normal) > 0.0
-        dot_term = jnp.where(
-            has_normal,
-            jnp.clip(jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0),
-            1.0,
-        )
-        factor = (dot_term / pdf)[:, None] * att
-
-        rad = rad + jnp.where(live_hit[:, None], thr * hit.emission, 0.0)
-        thr = jnp.where(live_hit[:, None], thr * factor, thr)
-        o = jnp.where(live_hit[:, None], hit.point, o)
-        d = jnp.where(live_hit[:, None], new_dir, d)
-        segs = segs + jnp.sum(alive.astype(jnp.float32))
-        return o, d, thr, rad, live_hit, uids, pos, segs
+        return o, d, thr, rad, live_hit, uids, pos, segs + segs_b
 
     _, _, _, radiance, _, _, out_pos, segments = jax.lax.fori_loop(
         0, path_depth, bounce, init
@@ -218,46 +242,16 @@ def _bounce_once_core(
 ):
     """One staged bounce over the current wavefront + exit sort that
     parks dead rays at the tail (same estimator and RNG counters as
-    path_trace's fori body — the content-keyed RNG makes the exit-sorted
-    order equivalent to path_trace's entry-sorted one)."""
-    ball, u_choice, u_vol = _bounce_draws(scene, rng_key, uids, site)
-    t_max = jnp.where(alive, jnp.float32(max_trace_dist), 0.0)
-    hit = intersect_scene(scene, o, d, PATH_T_MIN, t_max, u_vol)
-
-    live_hit = alive & hit.valid
-    live_miss = alive & ~hit.valid
-    rad = rad + jnp.where(live_miss[:, None], thr * background_color(d), 0.0)
-
-    new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
-    has_normal = vm.magnitude2(hit.normal) > 0.0
-    dot_term = jnp.where(
-        has_normal,
-        jnp.clip(jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0),
-        1.0,
+    path_trace's fori body — `_bounce_update` is literally shared — and
+    the content-keyed RNG makes the exit-sorted order equivalent to
+    path_trace's entry-sorted one)."""
+    o, d, thr, rad, alive, segs = _bounce_update(
+        scene, o, d, thr, rad, alive, uids, rng_key, site, max_trace_dist
     )
-    factor = (dot_term / pdf)[:, None] * att
-    rad = rad + jnp.where(live_hit[:, None], thr * hit.emission, 0.0)
-    thr = jnp.where(live_hit[:, None], thr * factor, thr)
-    o = jnp.where(live_hit[:, None], hit.point, o)
-    d = jnp.where(live_hit[:, None], new_dir, d)
-    segs = jnp.sum(alive.astype(jnp.float32))
-    alive = live_hit
-
     if sort_exit:
-        key = _coherence_key(o, d, alive)
-        (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_,
-         rr_, rg_, rb_, uid_, pos_, al_) = jax.lax.sort(
-            [key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-             thr[:, 0], thr[:, 1], thr[:, 2],
-             rad[:, 0], rad[:, 1], rad[:, 2],
-             uids, pos, alive.astype(jnp.int32)],
-            num_keys=1,
+        o, d, thr, rad, uids, pos, alive = _sort_state(
+            o, d, thr, rad, uids, pos, alive
         )
-        o = jnp.stack([ox_, oy_, oz_], axis=-1)
-        d = jnp.stack([dx_, dy_, dz_], axis=-1)
-        thr = jnp.stack([tr_, tg_, tb_], axis=-1)
-        rad = jnp.stack([rr_, rg_, rb_], axis=-1)
-        uids, pos, alive = uid_, pos_, al_ > 0
     n_alive = jnp.sum(alive.astype(jnp.int32))
     return o, d, thr, rad, alive, uids, pos, segs, n_alive
 
@@ -319,19 +313,11 @@ def path_trace_shrink(
     if sort_rays:
         # entry sort for bounce 0 (primary coherence for the big-mesh
         # kernels), matching path_trace's per-bounce entry sort
-        key0 = _coherence_key(o, d, state[4])
-        outs = jax.lax.sort(
-            [key0, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]]
-            + [state[2][:, 0], state[2][:, 1], state[2][:, 2]]
-            + [state[3][:, 0], state[3][:, 1], state[3][:, 2]]
-            + [uids, state[6], state[4].astype(jnp.int32)],
-            num_keys=1,
+        o_, d_, thr_, rad_, uids_, pos_, alive_ = _sort_state(
+            state[0], state[1], state[2], state[3],
+            state[5], state[6], state[4],
         )
-        state = (
-            jnp.stack(outs[1:4], axis=-1), jnp.stack(outs[4:7], axis=-1),
-            jnp.stack(outs[7:10], axis=-1), jnp.stack(outs[10:13], axis=-1),
-            outs[15] > 0, outs[13], outs[14],
-        )
+        state = (o_, d_, thr_, rad_, alive_, uids_, pos_)
 
     retired: list = []  # (pos, rad) of truncated dead tails
     segments = jnp.zeros((), jnp.float32)
