@@ -623,6 +623,9 @@ def intersect_scene_fused(
     big_ids = [
         i for i in range(len(scene.meshes)) if i not in scene.dense_mesh_ids
     ]
+    import os as _os
+
+    boxclamp = _os.environ.get("RT_BOXCLAMP", "1") == "1"
     for j, mi in enumerate(big_ids):
         mesh = scene.meshes[mi]
         o_obj, d_obj = obj_rays[mi]
@@ -634,9 +637,39 @@ def intersect_scene_fused(
         # the fused kernel or earlier big meshes occlusion-cull whole
         # pieces/superleafs inside the scan (t is a valid bound because
         # the ray parameter is transform-invariant, geometry.rs:304)
+        tmin_m = jnp.asarray(t_min, jnp.float32)
+        tmax_m = jnp.minimum(jnp.asarray(t_max, jnp.float32), t)
+        if boxclamp:
+            # Per-ray ROOT-box window clamp: every true hit lies inside
+            # the mesh's root AABB, so [entry-ε, exit+ε] is a valid (and
+            # much tighter) scan window; rays that miss the box get an
+            # EMPTY window and vote "no" in every block-level piece/
+            # superleaf cull — with the position-major sort, box-missing
+            # rays cluster into whole blocks that skip the entire mesh.
+            # ε-padding makes the clamp conservative vs float rounding,
+            # so results are bit-identical (tests/test_fused.py).
+            root_lo = jnp.min(mesh.big_box[:, 0:3], axis=0)
+            root_hi = jnp.max(mesh.big_box[:, 3:6], axis=0)
+            inv_d = 1.0 / d_obj
+            t0 = (root_lo[None, :] - o_obj) * inv_d
+            t1 = (root_hi[None, :] - o_obj) * inv_d
+            lo = jnp.where(inv_d < 0.0, t1, t0)
+            hi = jnp.where(inv_d < 0.0, t0, t1)
+            ent = jnp.max(jnp.fmax(lo, -jnp.inf), axis=-1)
+            ext = jnp.min(jnp.fmin(hi, jnp.inf), axis=-1)
+            eps = 1e-3 + 1e-3 * jnp.max(
+                jnp.abs(jnp.stack([root_lo, root_hi]))
+            )
+            miss = (ext + eps < ent - eps) | (ext < tmin_m) | (ent > tmax_m)
+            tmin_m = jnp.where(
+                miss, 1.0, jnp.maximum(tmin_m, ent - eps)
+            )
+            tmax_m = jnp.where(
+                miss, 0.0, jnp.minimum(tmax_m, ext + eps)
+            )
         hit_m, t_m, tri_m, u_m, v_m = tri_scan_big_pallas(
             o_obj, d_obj, mesh.big_bw, mesh.big_box, mesh.big_sl,
-            t_min, jnp.minimum(jnp.asarray(t_max, jnp.float32), t),
+            tmin_m, tmax_m,
         )
         better = hit_m & (t_m < t)
         t = jnp.where(better, t_m, t)
