@@ -36,6 +36,22 @@ def main(argv=None):
     p.add_argument("--pixel-chunk", type=int)
     p.add_argument("--stats-json", help="write render stats to this path")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--mesh",
+        help="render over a DPxSP device mesh, e.g. --mesh 4x2 "
+        "(pixels shard over dp, spp over sp; defaults to single device)",
+    )
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: call jax.distributed.initialize before rendering "
+        "(run the same command on every host; on TPU pods the coordinator "
+        "is discovered from the environment, elsewhere set --coordinator/"
+        "--num-processes/--process-id)",
+    )
+    p.add_argument("--coordinator", help="host:port of process 0")
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -43,6 +59,25 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.distributed:
+        from cs397raytracingsp22_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    mesh = None
+    if args.mesh:
+        from cs397raytracingsp22_tpu.parallel.sharding import make_device_mesh
+
+        try:
+            n_dp, n_sp = (int(x) for x in args.mesh.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--mesh must look like 4x2, got {args.mesh!r}")
+        mesh = make_device_mesh(n_dp=n_dp, n_sp=n_sp)
 
     from cs397raytracingsp22_tpu.render.driver import render_to_image, save_png
 
@@ -69,10 +104,14 @@ def main(argv=None):
             spp_chunk=args.spp_chunk,
             checkpoint_path=args.checkpoint,
             verbose=not args.quiet,
+            mesh=mesh,
         )
-    save_png(img, args.output)
-    if not args.quiet:
-        print(f"[cli] wrote {args.output}")
+    import jax as _jax
+
+    if _jax.process_index() == 0:
+        save_png(img, args.output)
+        if not args.quiet:
+            print(f"[cli] wrote {args.output}")
     if args.stats_json:
         with open(args.stats_json, "w") as f:
             json.dump(

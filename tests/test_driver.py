@@ -158,3 +158,32 @@ def test_chunk_retry_recovers_transient_device_error(monkeypatch):
     img, _ = render_to_image(scene, seed=9, verbose=False)
     np.testing.assert_array_equal(img_ref, img)
     assert calls["n"] >= 2
+
+
+def test_cli_mesh_flag_matches_single_device(tmp_path):
+    """--mesh DPxSP must produce the bit-identical image of a plain run
+    (sharding invariance through the CLI entry point)."""
+    out1 = str(tmp_path / "single.png")
+    out2 = str(tmp_path / "sharded.png")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    base = [
+        sys.executable, "-m", "cs397raytracingsp22_tpu.cli",
+        "scenes/cornell.py", "--width", "8", "--height", "8",
+        "--spp", "4", "--cpu", "-q",
+    ]
+    for args, out in ((base, out1), (base + ["--mesh", "4x2"], out2)):
+        r = subprocess.run(
+            args + ["-o", out], cwd="/root/repo", env=env,
+            capture_output=True, timeout=300, text=True,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    from PIL import Image
+    import numpy as np
+
+    a = np.asarray(Image.open(out1))
+    b = np.asarray(Image.open(out2))
+    assert (a == b).all()
