@@ -68,9 +68,40 @@ def build_bench_scene(width=512, height=512, spp=64, path_depth=8):
     return Scene(camera=camera, objects=objects)
 
 
+def _watchdog(seconds: float):
+    """Abort with an explicit JSON error line if device init hangs —
+    a dead TPU tunnel blocks jax.devices() forever, and a silent hang
+    would eat the whole bench budget. Cancelled once devices respond."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "Mrays_per_sec_per_chip_cornell_teapot",
+                    "value": 0.0,
+                    "unit": "Mrays/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU unreachable (device init exceeded {seconds:.0f}s)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "180")))
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    watchdog.cancel()
 
     from cs397raytracingsp22_tpu.render.driver import render_chunk
 
