@@ -13,6 +13,13 @@ run() { local t=$1; shift; say "run: $*"; timeout "$t" "$@" >> "$LOG" 2>&1; say 
 say "STEP 1: north-star bench (expect ~461.6; auto block rows unchanged at 64 for 240-tri)"
 run 700 python bench.py
 
+say "STEP 1b: block-rows/unroll resweep post last-bounce specialization (less live state may shift the 64-row optimum)"
+for br in 64 96 32; do
+  run 700 env RT_BLOCK_ROWS=$br python bench.py
+done
+run 700 env RT_DENSE_UNROLL=5 python bench.py
+run 700 env RT_NUM=neg python bench.py
+
 say "STEP 2: teapot 6k dense at defaults (auto 32-row blocks; expect ~20.7)"
 run 700 python tools/bench_teapot_6k.py
 
