@@ -86,3 +86,51 @@ def test_two_process_render_matches_single(tmp_path):
     scene = cornell.build(width=16, height=16, spp=4, path_depth=3)
     img_ref, _ = render_to_image(scene, seed=7, verbose=False)
     np.testing.assert_array_equal(img_ref, img_mh)
+
+
+@pytest.mark.slow
+def test_cli_distributed_two_processes(tmp_path):
+    """The CLI --distributed/--mesh flags run the same recipe: two
+    spawned CLI processes (1 CPU device each → global 2-device dp mesh),
+    process 0 writes the PNG, bit-identical to a plain single-process
+    CLI render."""
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out_mh = str(tmp_path / "mh.png")
+    out_ref = str(tmp_path / "ref.png")
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    base = [
+        sys.executable, "-m", "cs397raytracingsp22_tpu.cli",
+        "scenes/cornell.py", "--width", "8", "--height", "8",
+        "--spp", "2", "--cpu", "-q", "--seed", "5",
+    ]
+    procs = [
+        subprocess.Popen(
+            base + [
+                "-o", out_mh, "--mesh", "2x1", "--distributed",
+                "--coordinator", coord, "--num-processes", "2",
+                "--process-id", str(i),
+            ],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"cli worker failed:\n{so[-2000:]}\n{se[-2000:]}"
+
+    r = subprocess.run(
+        base + ["-o", out_ref], cwd="/root/repo", env=env,
+        capture_output=True, timeout=300, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from PIL import Image
+
+    a = np.asarray(Image.open(out_mh))
+    b = np.asarray(Image.open(out_ref))
+    assert (a == b).all()
