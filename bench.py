@@ -97,10 +97,25 @@ def _watchdog(seconds: float):
 
 def main():
     watchdog = _watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "180")))
-    import jax
-    import jax.numpy as jnp
+    try:
+        import jax
+        import jax.numpy as jnp
 
-    jax.devices()  # force backend init under the watchdog
+        jax.devices()  # force backend init under the watchdog
+    except Exception as e:  # refused/dead tunnel raises instead of hanging
+        print(
+            json.dumps(
+                {
+                    "metric": "Mrays_per_sec_per_chip_cornell_teapot",
+                    "value": 0.0,
+                    "unit": "Mrays/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU init failed: {type(e).__name__}: {e}",
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(3)
     watchdog.cancel()
 
     from cs397raytracingsp22_tpu.render.driver import render_chunk

@@ -112,7 +112,7 @@ def main(argv=None):
         save_png(img, args.output)
         if not args.quiet:
             print(f"[cli] wrote {args.output}")
-    if args.stats_json:
+    if args.stats_json and _jax.process_index() == 0:
         with open(args.stats_json, "w") as f:
             json.dump(
                 {

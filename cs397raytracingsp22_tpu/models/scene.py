@@ -390,7 +390,7 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
     # DENSE_MESH_MAX_TRIS bounds BOTH the per-mesh size and the TOTAL
     # over all dense meshes: the concatenated scan tables live in the
     # 1 MiB SMEM (bw rows are 15 floats in the mega kernel — 8192 rows
-    # = 491 KiB) and the in-bounce scan cost is linear in the total.
+    # = 480 KiB) and the in-bounce scan cost is linear in the total.
     # Smallest meshes are admitted first (they gain the most from the
     # dense path); the rest take the big-mesh piece-scan path.
     _cand = sorted(

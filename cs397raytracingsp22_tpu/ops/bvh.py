@@ -44,7 +44,7 @@ MT_EPSILON = 1e-4  # Möller–Trumbore parallel-ray epsilon (geometry.rs:335)
 # tris to stay inside Mosaic's scoped-VMEM budget (bounce._auto_block_
 # rows). At 12,000 tris the piece path measures 8.36 and linear dense
 # scaling predicts ~10 at best with 16-row blocks — the crossover sits
-# near the 8192 SMEM-table bound (8192 rows × 15 scan floats = 491 KiB
+# near the 8192 SMEM-table bound (8192 rows × 15 scan floats = 480 KiB
 # of the 1 MiB SMEM). The cap bounds the TOTAL over all dense meshes
 # (scene.py admits smallest-first up to the budget), so it doubles as
 # the table-budget guard.

@@ -660,7 +660,11 @@ def intersect_scene_fused(
             eps = 1e-3 + 1e-3 * jnp.max(
                 jnp.abs(jnp.stack([root_lo, root_hi]))
             )
-            miss = (ext + eps < ent - eps) | (ext < tmin_m) | (ent > tmax_m)
+            miss = (
+                (ext + eps < ent - eps)
+                | (ext + eps < tmin_m)
+                | (ent - eps > tmax_m)
+            )
             tmin_m = jnp.where(
                 miss, 1.0, jnp.maximum(tmin_m, ent - eps)
             )

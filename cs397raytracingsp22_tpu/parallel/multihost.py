@@ -58,6 +58,14 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is not None or process_id is not None:
+        # silently falling back to env discovery would discard the
+        # caller's explicit topology (and then hang looking for a pod)
+        raise ValueError(
+            "num_processes/process_id require coordinator_address "
+            "(pass --coordinator host:port, or none of the three for "
+            "TPU-pod env discovery)"
+        )
     jax.distributed.initialize(**kw)
     return jax.process_index(), jax.process_count()
 

@@ -118,8 +118,14 @@ def test_full_stack_pallas_vs_jnp_bit_identical(monkeypatch):
                                 scene_data=data)
     np.testing.assert_array_equal(img_jnp, img_pl)
 
-    # box clamp off must not change anything either
+    # box clamp off must not change anything either. RT_BOXCLAMP is read
+    # at TRACE time inside the jitted staged step, so clear the jit cache
+    # first — otherwise this leg would silently reuse the clamp-on
+    # executable and assert nothing.
+    import jax
+
     monkeypatch.setenv("RT_BOXCLAMP", "0")
+    jax.clear_caches()
     img_nc, _ = render_to_image(scene, seed=11, verbose=False,
                                 scene_data=data)
     np.testing.assert_array_equal(img_pl, img_nc)
