@@ -10,7 +10,10 @@ LOG=${1:-/tmp/r2_measure.log}
 say() { echo "=== $(date +%H:%M:%S) $*" | tee -a "$LOG"; }
 run() { local t=$1; shift; say "run: $*"; timeout "$t" "$@" >> "$LOG" 2>&1; say "exit=$?"; }
 
-say "STEP 1: north-star bench (expect ~461.6; auto block rows unchanged at 64 for 240-tri)"
+say "STEP 0: kernel smoke (new code paths must compile + match jnp on chip)"
+run 900 python tools/tpu_smoke.py
+
+say "STEP 1: north-star bench (expect ~461.6 + last-bounce spec; auto block rows unchanged at 64 for 240-tri)"
 run 700 python bench.py
 
 say "STEP 1b: block-rows/unroll resweep post last-bounce specialization (less live state may shift the 64-row optimum)"
