@@ -148,6 +148,25 @@ def _num_mode() -> str:
     return os.environ.get("RT_NUM", "sub")
 
 
+def _keycmp_mode() -> str:
+    """RT_KEYCMP: "u" runs the dense-scan min over UNSIGNED key
+    patterns — a rejected candidate is forced to 0xFFFFFFFF by or-ing
+    in its reject sign (`bci(t) | (rej >> 31)`), and a negative t'
+    needs no explicit test at all because its sign bit already makes
+    the unsigned pattern lose to every valid key. That drops one `or`
+    per triangle from this kernel's signed chain (~3% of the
+    op-count-bound scan) with BIT-IDENTICAL winner selection
+    (tests/test_bounce_kernel.py), and 3 ops/tri in the staged kernels
+    (scene_intersect/tri_scan_big, which also gain the t_min-shifted
+    domain in this mode). "s" (default) is the signed INT32_MAX-select
+    chain. Default stays "s" until the on-chip smoke confirms Mosaic
+    lowers the uint32 compare and the A/B wins (tools/round2_measure.sh
+    STEP 1b) — interpret-mode tests can't validate the TPU lowering."""
+    import os
+
+    return os.environ.get("RT_KEYCMP", "s")
+
+
 def _rotl(x, r):
     return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
 
@@ -409,11 +428,16 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         tmin_f = jnp.float32(t_min)
         best_t, code, mat, nx, ny, nz, ff = carry
 
+        unsigned_key = _keycmp_mode() == "u"
+
         def bci(x):
             return jax.lax.bitcast_convert_type(x, jnp.int32)
 
         def bcf(x):
             return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+        def bcu(x):
+            return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
         # Candidate keys are plain bitcasts of t' = t - t_min (no
         # sign-flip): the whole mesh scan runs in a t_min-SHIFTED ray
@@ -522,15 +546,31 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 # hits landing exactly on a triangle edge whose dots
                 # round to negative zero differ — within the documented
                 # edge-rounding tolerance (see module docstring).
-                rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t))
+                if unsigned_key:
+                    # t' < 0 needs no explicit reject op here: its sign
+                    # bit makes the candidate's uint32 pattern at least
+                    # 0x80000000, which loses the unsigned min to every
+                    # valid key — one fewer `or` per triangle.
+                    rej = (bci(u) | bci(v)) | bci((1.0 - u) - v)
+                else:
+                    rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t))
                 rej = rej | bci(den * den - EPS2)
                 return t, rej
 
             def mesh_body(i, packed):
                 key, widx = packed
                 t, rej = bw_parts(i)
-                cand = jnp.where(rej < 0, INTMAX, bci(t))
-                ok = cand < key
+                if unsigned_key:
+                    # Rejected → 0xFFFFFFFF (max uint32, always loses);
+                    # negative t' loses by its own sign bit. Winners only
+                    # ever hold valid non-negative patterns, so the
+                    # post-scan signed `key < key0` stays correct and the
+                    # selection is bit-identical to the signed chain.
+                    cand = bci(t) | (rej >> 31)
+                    ok = bcu(cand) < bcu(key)
+                else:
+                    cand = jnp.where(rej < 0, INTMAX, bci(t))
+                    ok = cand < key
                 return jnp.where(ok, cand, key), jnp.where(ok, i, widx)
 
             def scan16(packed, lo_i, mesh_body=mesh_body):

@@ -267,6 +267,7 @@ def _make_kernel(counts, exact_recip=False):
         # meshes (the sorted wavefront keeps blocks coherent).
         from cs397raytracingsp22_tpu.ops.pallas.bounce import (
             SL_MIN_TRIS_DEEP,
+            _keycmp_mode,
             _superleaf_mode,
         )
 
@@ -276,13 +277,32 @@ def _make_kernel(counts, exact_recip=False):
         def bcf(x):
             return jax.lax.bitcast_convert_type(x, jnp.float32)
 
+        def bcu(x):
+            return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
         INTMAX = jnp.int32(2147483647)
         ABS_MASK = jnp.int32(0x7FFFFFFF)
         import numpy as _np
 
         EPS_BITS = jnp.int32(_np.float32(MT_EPSILON).view(_np.int32))
+        EPS2 = jnp.float32(float(MT_EPSILON) * float(MT_EPSILON))
+        unsigned_key = _keycmp_mode() == "u"
         best_t0 = carry[0]
-        key0 = bci(best_t0)
+        if unsigned_key:
+            # t_min-SHIFTED scan domain + unsigned min (bounce.py v4
+            # contract, RT_KEYCMP doc): the mesh-space origin is advanced
+            # by t_min·d, so every live candidate is t' = t − t_min ≥ 0
+            # whose sign bit replaces the per-triangle `t − t_min` reject
+            # subtraction, rejected candidates are forced to 0xFFFFFFFF,
+            # and the grazing reject fuses to one den²−eps² FMA — 3 fewer
+            # ops per triangle than the signed unshifted chain. The
+            # where() guard keeps empty occlusion windows
+            # (t_max < t_min, dead rays) losing: their key0 is 0, which
+            # no candidate beats unsigned (the signed chain got this from
+            # the negative key pattern instead).
+            key0 = bci(jnp.where(best_t0 > t_min, best_t0 - t_min, 0.0))
+        else:
+            key0 = bci(best_t0)
         key = key0
         widx = izero
 
@@ -304,12 +324,18 @@ def _make_kernel(counts, exact_recip=False):
             tx = mesh_xf[xb + 9]
             ty = mesh_xf[xb + 10]
             tz = mesh_xf[xb + 11]
-            mox = r00 * oxv + r01 * oyv + r02 * ozv + tx
-            moy = r10 * oxv + r11 * oyv + r12 * ozv + ty
-            moz = r20 * oxv + r21 * oyv + r22 * ozv + tz
             mdx = r00 * dxv + r01 * dyv + r02 * dzv
             mdy = r10 * dxv + r11 * dyv + r12 * dzv
             mdz = r20 * dxv + r21 * dyv + r22 * dzv
+            mox = r00 * oxv + r01 * oyv + r02 * ozv + tx
+            moy = r10 * oxv + r11 * oyv + r12 * ozv + ty
+            moz = r20 * oxv + r21 * oyv + r22 * ozv + tz
+            if unsigned_key:
+                # advance into the shifted t' domain (once per mesh, not
+                # per triangle; hit points mo' + t'·md are identical)
+                mox = mox + t_min * mdx
+                moy = moy + t_min * mdy
+                moz = moz + t_min * mdz
 
             def mesh_body(i, packed, mox=mox, moy=moy, moz=moz,
                           mdx=mdx, mdy=mdy, mdz=mdz):
@@ -331,10 +357,22 @@ def _make_kernel(counts, exact_recip=False):
                      + mesh_bw[rb + 6] * pz + mesh_bw[rb + 7])
                 v = (mesh_bw[rb + 8] * px + mesh_bw[rb + 9] * py
                      + mesh_bw[rb + 10] * pz + mesh_bw[rb + 11])
-                rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - t_min))
-                rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
-                cand = jnp.where(rej < 0, INTMAX, bci(t))
-                ok = cand < key
+                if unsigned_key:
+                    # t' < 0 loses by its own sign bit under the unsigned
+                    # min; rejected → 0xFFFFFFFF (always loses); grazing
+                    # reject as one den²−eps² FMA (bounce.py contract:
+                    # den² underflow for |den| < ~1e-19 still rejects).
+                    rej = (bci(u) | bci(v)) | bci((1.0 - u) - v)
+                    rej = rej | bci(den * den - EPS2)
+                    cand = bci(t) | (rej >> 31)
+                    ok = bcu(cand) < bcu(key)
+                else:
+                    rej = (bci(u) | bci(v)) | (
+                        bci((1.0 - u) - v) | bci(t - t_min)
+                    )
+                    rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
+                    cand = jnp.where(rej < 0, INTMAX, bci(t))
+                    ok = cand < key
                 return jnp.where(ok, cand, key), jnp.where(ok, i, widx)
 
             def group_body(s, packed, mesh_body=mesh_body, start=start):
@@ -368,9 +406,13 @@ def _make_kernel(counts, exact_recip=False):
                 t1y = (sl_bounds[row + 4] - moy) * inv_mdy
                 t0z = (sl_bounds[row + 2] - moz) * inv_mdz
                 t1z = (sl_bounds[row + 5] - moz) * inv_mdz
+                # shifted domain (u mode): slab intervals and the decoded
+                # best key both live in t' = t − t_min, so the lower
+                # clamp is 0 there
+                lo_clamp = jnp.float32(0.0) if unsigned_key else t_min
                 tlo = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                    jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+                    jnp.maximum(jnp.minimum(t0z, t1z), lo_clamp),
                 )
                 thi = jnp.minimum(
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
@@ -389,7 +431,12 @@ def _make_kernel(counts, exact_recip=False):
             # by the wrapper); idx is the mesh-local row (winner's global
             # row minus its mesh's start)
             mesh_won = key < key0
-            best_t = jnp.where(mesh_won, bcf(key), best_t)
+            # winners only ever hold valid non-negative patterns, so the
+            # signed compare stays correct in u mode; decode re-adds the
+            # domain shift (approx placeholder either way — the wrapper
+            # re-derives the exact t)
+            t_dec = bcf(key) + t_min if unsigned_key else bcf(key)
+            best_t = jnp.where(mesh_won, t_dec, best_t)
             for mi, (start, count) in enumerate(mesh_ranges):
                 if len(mesh_ranges) == 1:
                     in_mi = mesh_won

@@ -59,7 +59,7 @@ SL_PER_PIECE = PIECE_TRIS // SL
 
 
 def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
-            tmn, tmx, bk, bid, *, n_pieces, exact_recip):
+            tmn, tmx, bk, bid, *, n_pieces, exact_recip, unsigned_key):
     # `order` (scalar-prefetch): per ray-block front-to-back piece
     # permutation — the SAME permutation drives the piece_bw/piece_sl
     # window index_maps, so step jj of block i scans piece order[i, jj].
@@ -84,12 +84,16 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
     INTMAX = jnp.int32(2147483647)
     ABS_MASK = jnp.int32(0x7FFFFFFF)
     EPS_BITS = jnp.int32(np.float32(MT_EPSILON).view(np.int32))
+    EPS2 = jnp.float32(MT_EPSILON * MT_EPSILON)
 
     def bci(x):
         return jax.lax.bitcast_convert_type(x, jnp.int32)
 
     def bcf(x):
         return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    def bcu(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
 
     @pl.when(jj == 0)
     def _():
@@ -157,10 +161,21 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
         # like floats, so (|den|_bits - eps_bits) has the sign bit iff
         # |den| < 1e-4. On small-triangle meshes (32k-tri sphere) this
         # fires on ~3% of hits — real reference behavior, not noise.
-        rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - t_min))
-        rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
-        cand = jnp.where(rej < 0, INTMAX, bci(t))
-        ok = cand < best_k
+        if unsigned_key:
+            # t_min-shifted domain (the wrapper pre-advanced the origin
+            # and shipped t_min = 0, t_max' = max(t_max − t_min, 0)):
+            # t' < 0 loses by its own sign bit under the unsigned min,
+            # rejected → 0xFFFFFFFF, grazing reject as one den²−eps²
+            # FMA — 3 fewer ops per triangle (scene_intersect.py twin).
+            rej = (bci(u) | bci(v)) | bci((1.0 - u) - v)
+            rej = rej | bci(den * den - EPS2)
+            cand = bci(t) | (rej >> 31)
+            ok = bcu(cand) < bcu(best_k)
+        else:
+            rej = (bci(u) | bci(v)) | (bci((1.0 - u) - v) | bci(t - t_min))
+            rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
+            cand = jnp.where(rej < 0, INTMAX, bci(t))
+            ok = cand < best_k
         gid = j * PIECE_TRIS + local
         return (
             jnp.where(ok, cand, best_k),
@@ -212,7 +227,6 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
     bid[:] = best_id
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def tri_scan_big_pallas(
     o: jnp.ndarray,
     d: jnp.ndarray,
@@ -235,7 +249,40 @@ def tri_scan_big_pallas(
 
     Returns (hit, t, tri_idx, u, v) like tri_scan_pallas.
     """
+    from cs397raytracingsp22_tpu.ops.pallas.bounce import _keycmp_mode
+
+    # the key-compare mode is a STATIC jit arg (not an env read inside
+    # the trace) so in-process A/B sweeps never hit a stale cache entry
+    return _tri_scan_big_jit(
+        o, d, big_bw, big_box, big_sl, t_min, t_max,
+        interpret=interpret, keycmp=_keycmp_mode(),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "keycmp"))
+def _tri_scan_big_jit(
+    o, d, big_bw, big_box, big_sl, t_min, t_max,
+    interpret: bool = False, keycmp: str = "u",
+):
     interpret = interpret or jax.default_backend() != "tpu"
+    unsigned_key = keycmp == "u"
+    if unsigned_key:
+        # t_min-shifted scan domain (bounce.py v4 / RT_KEYCMP contract):
+        # pre-advance the origin by t_min·d, ship t_min = 0 and
+        # t_max' = max(t_max − t_min, 0). The clamp keeps EMPTY occlusion
+        # windows (t_max < t_min, dead rays) losing: their init key is
+        # ≤ 0, which no non-negative candidate beats under `<`. The
+        # winner's exact t/u/v below still come from the UNSHIFTED ray.
+        n_ = o.shape[0]
+        tmn_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_,))
+        tmx_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_,))
+        o_scan = o + tmn_v[:, None] * d
+        t_min_scan = jnp.zeros((n_,), jnp.float32)
+        t_max_scan = jnp.where(tmx_v > tmn_v, tmx_v - tmn_v, 0.0)
+    else:
+        o_scan = o
+        t_min_scan = t_min
+        t_max_scan = t_max
     n = o.shape[0]
     n_pieces = big_box.shape[0]
     block_rows = _block_rows()
@@ -250,9 +297,9 @@ def tri_scan_big_pallas(
         )
 
     planes = [
-        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+        plane(o_scan[:, 0]), plane(o_scan[:, 1]), plane(o_scan[:, 2]),
         plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2], fill=1.0),
-        plane(t_min), plane(t_max),
+        plane(t_min_scan), plane(t_max_scan),
     ]
 
     # Front-to-back piece order per ray block: conservative block entry
@@ -285,7 +332,8 @@ def tri_scan_big_pallas(
 
     ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
     kernel = functools.partial(
-        _kernel, n_pieces=n_pieces, exact_recip=interpret
+        _kernel, n_pieces=n_pieces, exact_recip=interpret,
+        unsigned_key=unsigned_key,
     )
     # flat (1, k) windows: SMEM windows pad the minor dim to 128 lanes,
     # so 2-D (1024, 12) would allocate 1024x128 floats (1MB) - flattened

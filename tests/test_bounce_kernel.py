@@ -146,6 +146,37 @@ def test_wavefront_matches_full_kernel(bench_like_scene):
     )
 
 
+@pytest.mark.slow
+def test_keycmp_unsigned_matches_signed(bench_like_scene, monkeypatch):
+    """RT_KEYCMP=u (unsigned min over key patterns, the default) must
+    pick bit-identical winners vs =s (the signed INT32_MAX select
+    chain): rejected candidates are forced to 0xFFFFFFFF and negative
+    t' loses by its own sign bit, so the surviving key sequence is the
+    same (bounce.py::_keycmp_mode)."""
+    scene = bench_like_scene
+    data = scene.compile()
+    tables = bounce.build_bounce_tables(data)
+
+    n = 512
+    key = threefry.key_words(41)
+    o, d = scene.camera.generate_rays(
+        key, jnp.arange(n // 4, dtype=jnp.int32), spp=4
+    )
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    uids = jnp.arange(n, dtype=jnp.int32)
+
+    outs = {}
+    for mode in ("u", "s"):
+        monkeypatch.setenv("RT_KEYCMP", mode)
+        rad, segs = bounce.path_trace_pallas(
+            data, tables, o, d, uids, key, 4, scene.camera.max_trace_dist
+        )
+        outs[mode] = (np.asarray(rad), float(segs))
+    np.testing.assert_array_equal(outs["u"][0], outs["s"][0])
+    assert outs["u"][1] == outs["s"][1]
+
+
 def test_auto_block_rows_schedule():
     """The scoped-VMEM block-rows schedule (measured 2026-08-17, v5e:
     64 rows OOMs AOT compile above 2048 dense tris; 32 rows runs a

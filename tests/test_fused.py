@@ -114,6 +114,49 @@ def test_fused_per_ray_bounds():
 
 
 @pytest.mark.slow
+def test_fused_keycmp_modes_agree(monkeypatch):
+    """RT_KEYCMP=u (t_min-shifted unsigned mesh scan, the default) vs
+    =s (signed unshifted chain): same hit set and winners. The domains
+    differ by float ulps, so t agreement is tight-tolerance rather than
+    bitwise (winner t is re-derived from the unshifted ray either way)."""
+    scene = full_scene()
+    n = 256
+    o, d = rays(n, seed=5)
+    u_vol = jax.random.uniform(jax.random.key(12), (n, scene.vol_center.shape[0]))
+    t_max = jax.random.uniform(jax.random.key(13), (n,), minval=0.5, maxval=50.0)
+
+    outs = {}
+    for mode in ("u", "s"):
+        monkeypatch.setenv("RT_KEYCMP", mode)
+        outs[mode] = intersect_scene_fused(scene, o, d, 0.001, t_max, u_vol)
+    a, b = outs["u"], outs["s"]
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    m = np.asarray(a.valid)
+    np.testing.assert_allclose(
+        np.asarray(a.t)[m], np.asarray(b.t)[m], rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.mtype)[m], np.asarray(b.mtype)[m]
+    )
+
+
+@pytest.mark.slow
+def test_fused_empty_windows(monkeypatch):
+    """Empty per-ray occlusion windows (t_max < t_min — the dead-ray
+    convention of the shrinking wavefront) must produce NO mesh hits in
+    both key-compare modes: u mode guards with key0 = bci(0), s mode
+    with the negative key pattern."""
+    scene = full_scene()
+    n = 128
+    o, d = rays(n, seed=6)
+    u_vol = jax.random.uniform(jax.random.key(14), (n, scene.vol_center.shape[0]))
+    for mode in ("u", "s"):
+        monkeypatch.setenv("RT_KEYCMP", mode)
+        out = intersect_scene_fused(scene, o, d, 0.001, jnp.full((n,), 5e-4), u_vol)
+        assert not np.asarray(out.valid).any(), mode
+
+
+@pytest.mark.slow
 def test_big_mesh_kernel_matches_traverse():
     """tri_scan_big (VMEM-table dense kernel) vs BVH traversal on a
     synthetic 1k-triangle mesh."""
@@ -152,3 +195,45 @@ def test_big_mesh_kernel_matches_traverse():
     np.testing.assert_allclose(np.asarray(tb)[m], np.asarray(tp)[m], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ib)[m], np.asarray(ip)[m])
     np.testing.assert_allclose(np.asarray(ub)[m], np.asarray(up)[m], atol=2e-4)
+
+
+@pytest.mark.slow
+def test_big_mesh_kernel_keycmp_modes(monkeypatch):
+    """tri_scan_big RT_KEYCMP=u vs =s: same hit set/winners on random
+    rays, and zero hits for empty occlusion windows (t_max < t_min) in
+    both modes (the u-mode wrapper clamp)."""
+    import numpy as np
+
+    from cs397raytracingsp22_tpu.models.scene import _baldwin_weber_rows
+    from cs397raytracingsp22_tpu.ops.pallas.tri_scan_big import (
+        pack_big_tables,
+        tri_scan_big_pallas,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.uniform(-4, 4, size=(600, 1, 3))
+    tris = (centers + rng.uniform(-0.4, 0.4, size=(600, 3, 3))).astype(np.float32)
+    table = np.concatenate(
+        [tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]], axis=1
+    ).astype(np.float32)
+    big_bw, big_box, big_sl = pack_big_tables(_baldwin_weber_rows(tris), table)
+
+    o = rng.uniform(-8, 8, size=(200, 3)).astype(np.float32)
+    targets = tris[rng.integers(0, len(tris), 200)].mean(axis=1)
+    d = (targets - o).astype(np.float32)
+    args = (jnp.asarray(o), jnp.asarray(d), jnp.asarray(big_bw),
+            jnp.asarray(big_box), jnp.asarray(big_sl))
+
+    outs = {}
+    for mode in ("u", "s"):
+        monkeypatch.setenv("RT_KEYCMP", mode)
+        outs[mode] = tri_scan_big_pallas(*args, 0.001, 100.0)
+        # empty windows: no hits regardless of mode
+        he, *_ = tri_scan_big_pallas(*args, 0.001, jnp.full((200,), 5e-4))
+        assert not np.asarray(he).any(), mode
+    (hu, tu, iu, *_), (hs, ts, is_, *_) = outs["u"], outs["s"]
+    np.testing.assert_array_equal(np.asarray(hu), np.asarray(hs))
+    m = np.asarray(hu)
+    assert m.sum() > 50
+    np.testing.assert_array_equal(np.asarray(iu)[m], np.asarray(is_)[m])
+    np.testing.assert_allclose(np.asarray(tu)[m], np.asarray(ts)[m], rtol=1e-6)

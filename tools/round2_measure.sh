@@ -23,6 +23,10 @@ done
 run 700 env RT_DENSE_UNROLL=5 python bench.py
 run 700 env RT_NUM=neg python bench.py
 
+say "STEP 1c: RT_KEYCMP=u (unsigned-min scan, -1 op/tri mega, -3 staged; smoke stage 4 must have passed). If it wins, flip the _keycmp_mode default in bounce.py"
+run 700 env RT_KEYCMP=u python bench.py
+run 700 env RT_KEYCMP=u RT_BLOCK_ROWS=96 python bench.py
+
 say "STEP 2: teapot 6k dense at defaults (auto 32-row blocks; expect ~20.7)"
 run 700 python tools/bench_teapot_6k.py
 

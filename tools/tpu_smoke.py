@@ -104,6 +104,31 @@ def main():
     check("staged+clamp t", np.asarray(hf.t)[m], np.asarray(hj.t)[m], tol=1e-4)
     print(f"[smoke] stage 3 wall {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # 4. RT_KEYCMP=u (unsigned min / t_min-shifted scan) through all
+    # three kernels — validates the Mosaic uint32-compare lowering that
+    # interpret-mode tests cannot; winners must match the s-mode runs
+    # bit-for-bit (mega kernel) / hit-for-hit (staged).
+    t0 = time.perf_counter()
+    os.environ["RT_KEYCMP"] = "u"
+    try:
+        rad_u, segs_u = B.path_trace_pallas(
+            data, tables, o, d, uids, key, 4, 100.0
+        )
+        check("mega-kernel keycmp=u", rad_u, rad_k, tol=1e-6)
+        assert float(segs_u) == float(segs_k)
+        fu = jax.jit(lambda o_, d_: intersect_scene_fused(
+            ts, o_, d_, 1e-3, 100.0, u_vol))
+        hu = fu(otx, dtx)
+        np.testing.assert_array_equal(
+            np.asarray(hu.valid), np.asarray(hf.valid)
+        )
+        mu = np.asarray(hu.valid)
+        check("staged keycmp=u t", np.asarray(hu.t)[mu],
+              np.asarray(hf.t)[mu], tol=1e-5)
+    finally:
+        os.environ.pop("RT_KEYCMP")
+    print(f"[smoke] stage 4 wall {time.perf_counter()-t0:.1f}s", flush=True)
+
     print("[smoke] ALL OK", flush=True)
 
 
