@@ -148,7 +148,7 @@ def test_wavefront_matches_full_kernel(bench_like_scene):
 
 @pytest.mark.slow
 def test_keycmp_unsigned_matches_signed(bench_like_scene, monkeypatch):
-    """RT_KEYCMP=u (unsigned min over key patterns, the default) must
+    """RT_KEYCMP=u (unsigned min over key patterns) must
     pick bit-identical winners vs =s (the signed INT32_MAX select
     chain): rejected candidates are forced to 0xFFFFFFFF and negative
     t' loses by its own sign bit, so the surviving key sequence is the

@@ -115,7 +115,7 @@ def test_fused_per_ray_bounds():
 
 @pytest.mark.slow
 def test_fused_keycmp_modes_agree(monkeypatch):
-    """RT_KEYCMP=u (t_min-shifted unsigned mesh scan, the default) vs
+    """RT_KEYCMP=u (t_min-shifted unsigned mesh scan) vs
     =s (signed unshifted chain): same hit set and winners. The domains
     differ by float ulps, so t agreement is tight-tolerance rather than
     bitwise (winner t is re-derived from the unshifted ray either way)."""
