@@ -71,6 +71,10 @@ class Camera:
     aa_sample_count: int = 100
     max_trace_dist: float = 100.0
     gamma: float = 2.0
+    # Next-event estimation (render/nee.py): a beyond-reference opt-in —
+    # the default False keeps every estimator convention and parity
+    # contract exactly the reference's (tracing.rs has no NEE).
+    nee: bool = False
 
     def rotation(self) -> jnp.ndarray:
         """Camera→world rotation, columns [normalize(view×up), up, -view].

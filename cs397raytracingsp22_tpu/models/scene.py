@@ -133,6 +133,9 @@ _SCENE_DATA_FIELDS = [
     "kmesh_tri",
     "kmesh_bw",
     "ksl_bounds",
+    # NEE light tables (render/nee.py — opt-in, beyond the reference)
+    "lt_tri",
+    "lt_sph",
 ]
 
 
@@ -149,6 +152,9 @@ _SCENE_DATA_FIELDS = [
         "dense_mesh_ids",
         "mat_types_present",
         "n_gvols",
+        "n_lt_tri",
+        "n_lt_sph",
+        "nee_ok",
     ],
 )
 @dataclasses.dataclass
@@ -222,6 +228,13 @@ class SceneData:
     # two cross products per pair) — same hit set, rows built in float64.
     kmesh_bw: jnp.ndarray
     ksl_bounds: jnp.ndarray  # (NSL, 6) superleaf AABBs (epsilon-padded)
+    # NEE light tables (opt-in next-event estimation, render/nee.py —
+    # a beyond-reference feature, default off): emissive standalone
+    # Triangles as (Lt, 13) = [a(3), e1(3), e2(3), emission(3), area]
+    # and emissive Spheres as (Ls, 7) = [center(3), radius, emission(3)],
+    # both world-space, padded to ≥ 1 inert row
+    lt_tri: jnp.ndarray
+    lt_sph: jnp.ndarray
     # static actual counts (arrays are padded)
     n_spheres: int
     n_planes: int
@@ -236,6 +249,14 @@ class SceneData:
     # compile out the masked-switch branches of absent classes
     mat_types_present: Tuple[int, ...] = (0, 1, 2, 3, 4)
     n_gvols: int = 0
+    # NEE statics: light counts + whether EVERY emissive object in the
+    # scene is a standalone Triangle or Sphere (the sampled-light set) —
+    # emission suppression at NEE'd vertices is only correct when the
+    # light set covers all emitters, so the driver refuses --nee on
+    # scenes with emissive planes/meshes (nee_ok False)
+    n_lt_tri: int = 0
+    n_lt_sph: int = 0
+    nee_ok: bool = False
 
 
 @dataclasses.dataclass
@@ -303,21 +324,52 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
     gvol_tris, gvol_density, gvol_mat = [], [], []
     mesh_blocks: list[MeshBlock] = []
 
+    # NEE light extraction (render/nee.py, opt-in): emissive standalone
+    # Triangles and Spheres become area-sampled lights; any OTHER
+    # emissive object (plane, mesh, phase function) voids nee_ok because
+    # NEE's next-vertex emission suppression is only correct when the
+    # sampled-light set covers every emitter in the scene.
+    lt_tri_rows: list = []
+    lt_sph_rows: list = []
+    nee_ok = True
+
+    def _emission_of(m):
+        e = np.asarray(getattr(m, "emission", (0.0, 0.0, 0.0)), np.float32)
+        return e if float(np.abs(e).max()) > 0.0 else None
+
     for obj in scene.objects:
         if isinstance(obj, Sphere):
             sph_center.append(obj.center)
             sph_radius.append(obj.radius)
             sph_mat.append(mats.add(obj.material))
+            e = _emission_of(obj.material)
+            if e is not None:
+                lt_sph_rows.append(
+                    tuple(obj.center) + (obj.radius,) + tuple(e)
+                )
         elif isinstance(obj, Plane):
             pln_point.append(obj.point)
             pln_normal.append(obj.normal)
             pln_mat.append(mats.add(obj.material))
+            if _emission_of(obj.material) is not None:
+                nee_ok = False  # infinite plane: not area-sampleable
         elif isinstance(obj, Triangle):
             tri_a.append(obj.a)
             tri_b.append(obj.b)
             tri_c.append(obj.c)
             tri_mat.append(mats.add(obj.material))
+            e = _emission_of(obj.material)
+            if e is not None:
+                a = np.asarray(obj.a, np.float32)
+                e1 = np.asarray(obj.b, np.float32) - a
+                e2 = np.asarray(obj.c, np.float32) - a
+                area = 0.5 * float(np.linalg.norm(np.cross(e1, e2)))
+                lt_tri_rows.append(
+                    tuple(a) + tuple(e1) + tuple(e2) + tuple(e) + (area,)
+                )
         elif isinstance(obj, ConvexVolume):
+            if _emission_of(obj.phase_function) is not None:
+                nee_ok = False  # emissive media are not sampled lights
             if isinstance(obj.boundary, Sphere):
                 # fast path: analytic entry/exit in every kernel tier
                 vol_center.append(obj.boundary.center)
@@ -333,8 +385,18 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
                 gvol_mat.append(mats.add(obj.phase_function))
         elif isinstance(obj, StaticMesh):
             mesh_blocks.append(_compile_mesh(obj, mats, atlas, leaf_size))
+            block = mesh_blocks[-1]
+            explicit_emissive = (
+                obj.material is not None
+                and _emission_of(obj.material) is not None
+            )
+            if explicit_emissive or block.tex_ids[1] >= 0:
+                nee_ok = False  # mesh-face lights not sampled (v1)
         else:
             raise TypeError(f"unsupported scene object {type(obj)!r}")
+
+    if not (lt_tri_rows or lt_sph_rows):
+        nee_ok = False  # nothing to sample
 
     table = mats.build()
     packed = atlas.build()
@@ -518,6 +580,8 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         kmesh_tri=jnp.asarray(kmesh_tri),
         kmesh_bw=jnp.asarray(kmesh_bw),
         ksl_bounds=jnp.asarray(ksl_bounds),
+        lt_tri=jnp.asarray(np_pad(lt_tri_rows, 13, 0.0)),
+        lt_sph=jnp.asarray(np_pad(lt_sph_rows, 7, 0.0)),
         n_spheres=len(sph_center),
         n_planes=len(pln_point),
         n_tris=len(tri_a),
@@ -527,6 +591,9 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         dense_mesh_ids=dense_ids,
         mat_types_present=tuple(sorted({int(t) for t in table["mat_type"]})),
         n_gvols=len(gvol_tris),
+        n_lt_tri=len(lt_tri_rows),
+        n_lt_sph=len(lt_sph_rows),
+        nee_ok=nee_ok,
     )
 
 

@@ -143,7 +143,16 @@ def render_chunk_core(
         from cs397raytracingsp22_tpu.ops.intersect import _use_pallas
         from cs397raytracingsp22_tpu.ops.pallas import bounce as bounce_kernel
 
-        if _use_pallas() and bounce_kernel.scene_is_simple(scene):
+        if camera.nee:
+            # opt-in NEE estimator (render/nee.py): its own integrator —
+            # the mega-bounce kernel implements the reference estimator
+            # only, but intersect_scene inside still routes through the
+            # fused Pallas kernel on TPU
+            radiance, segments = integrator.path_trace_nee(
+                scene, o, d, uids, rng_key,
+                camera.path_depth, camera.max_trace_dist,
+            )
+        elif _use_pallas() and bounce_kernel.scene_is_simple(scene):
             # Mega-bounce kernel: the whole path-trace loop in VMEM.
             tables = bounce_kernel.build_bounce_tables(scene)
             radiance, segments = bounce_kernel.path_trace_pallas(
@@ -270,6 +279,15 @@ def render_to_image(
     if scene_data is None:
         scene_data = scene.compile()
 
+    if cam.nee and not scene_data.nee_ok:
+        raise ValueError(
+            "Camera(nee=True) needs every emissive object to be a "
+            "standalone Triangle or Sphere (the sampled-light set, "
+            "render/nee.py) — this scene has emissive planes/meshes/"
+            "media or no lights at all, so NEE's emission suppression "
+            "would be wrong. Render without --nee."
+        )
+
     if pixel_chunk is None:
         # Budget per dispatch by WORK (ray-segments × primitive tests),
         # not just ray count: big dispatches pipeline Pallas grid blocks
@@ -370,6 +388,7 @@ def render_to_image(
 
         use_shrink = (
             cam.shading_mode is not ShadingMode.PHONG
+            and not cam.nee  # NEE runs its own integrator (render/nee.py)
             and _use_pallas()
             and not _bounce_kernel.scene_is_simple(scene_data)
             and os.environ.get("RT_SHRINK", "1") == "1"

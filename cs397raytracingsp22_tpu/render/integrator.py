@@ -236,6 +236,93 @@ def path_trace(
     return radiance, segments
 
 
+def path_trace_nee(
+    scene: SceneData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    uids: jnp.ndarray,
+    rng_key,
+    path_depth: int,
+    max_trace_dist: float,
+):
+    """path_trace with next-event estimation (render/nee.py — opt-in,
+    beyond the reference's by-chance light transport).
+
+    Deliberately a SEPARATE integrator rather than a flag inside
+    `_bounce_update`: that helper is the bit-parity contract shared by
+    every reference-faithful executor, and the NEE estimator differs
+    (extra carry for emission suppression, direct-light term, gated
+    last bounce). The indirect chain here uses the SAME draw sites as
+    path_trace, so turning NEE on changes only the estimator, not the
+    sampled paths.
+
+    NEE is applied at every vertex except the last bounce, which keeps
+    the expectation identical to the depth-limited plain estimator
+    (an NEE term at depth k equals emission at a depth-(k+1) vertex —
+    see nee.py module doc). Bounces are a static Python loop (vs
+    fori_loop) so the last-bounce gate compiles out.
+    """
+    from cs397raytracingsp22_tpu.render import nee as neelib
+
+    assert scene.nee_ok, (
+        "NEE requires every emissive object to be a standalone Triangle "
+        "or Sphere (scene compiled with nee_ok=False)"
+    )
+    n = o.shape[0]
+    thr = jnp.ones((n, 3), jnp.float32)
+    rad = jnp.zeros((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    prev_nee = jnp.zeros((n,), bool)
+    segments = jnp.zeros((), jnp.float32)
+
+    for depth in range(path_depth):
+        site = rnglib.SITE_BOUNCE0 + depth
+        ball, u_choice, u_vol = _bounce_draws(scene, rng_key, uids, site)
+        t_max = jnp.where(alive, jnp.float32(max_trace_dist), 0.0)
+        hit = intersect_scene(scene, o, d, PATH_T_MIN, t_max, u_vol)
+
+        live_hit = alive & hit.valid
+        live_miss = alive & ~hit.valid
+        rad = rad + jnp.where(
+            live_miss[:, None], thr * background_color(d), 0.0
+        )
+
+        # emission, suppressed where the PREVIOUS vertex's NEE sample
+        # already covered it (nee.py: everything a scatter ray hits
+        # first is straight-line visible from its origin)
+        emit_ok = live_hit & ~prev_nee
+        rad = rad + jnp.where(emit_ok[:, None], thr * hit.emission, 0.0)
+
+        new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
+        has_normal = vm.magnitude2(hit.normal) > 0.0
+        dot_term = jnp.where(
+            has_normal,
+            jnp.clip(
+                jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0
+            ),
+            1.0,
+        )
+        factor = (dot_term / pdf)[:, None] * att
+
+        if depth < path_depth - 1:
+            contrib, did = neelib.direct_light(
+                scene, hit, d, u_choice, live_hit, uids, rng_key,
+                depth, PATH_T_MIN,
+            )
+            rad = rad + jnp.where(live_hit[:, None], thr * contrib, 0.0)
+            prev_nee = live_hit & did
+        else:
+            prev_nee = jnp.zeros((n,), bool)
+
+        thr = jnp.where(live_hit[:, None], thr * factor, thr)
+        o = jnp.where(live_hit[:, None], hit.point, o)
+        d = jnp.where(live_hit[:, None], new_dir, d)
+        segments = segments + jnp.sum(alive.astype(jnp.float32))
+        alive = live_hit
+
+    return rad, segments
+
+
 def _bounce_once_core(
     scene, o, d, thr, rad, alive, uids, pos, rng_key, site,
     max_trace_dist, sort_exit,

@@ -1,0 +1,197 @@
+"""Next-event estimation (render/nee.py) — the opt-in beyond-reference
+estimator: same expectation as the plain depth-limited path trace, much
+lower variance on small-light scenes, and hard gating everywhere the
+light-set assumption doesn't hold."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cs397raytracingsp22_tpu import Camera, Lambertian, Plane, Scene, Sphere
+from cs397raytracingsp22_tpu.render import integrator
+from cs397raytracingsp22_tpu.utils import threefry
+from scenes import cornell
+
+
+def test_light_extraction():
+    """Cornell config3: the two light triangles become sampled lights."""
+    data = cornell.build_config3(width=8, height=8, spp=1).compile()
+    assert data.nee_ok
+    assert data.n_lt_tri == 2
+    assert data.n_lt_sph == 1  # config3's emissive sphere
+    rows = np.asarray(data.lt_tri)[:2]
+    # areas positive, emission matches the scene's light material
+    assert (rows[:, 12] > 0).all()
+    assert (rows[:, 9:12] > 1.0).all()
+
+
+def test_emissive_sphere_extraction():
+    scene = Scene(
+        camera=Camera(screen_width=4, screen_height=4, aa_sample_count=1),
+        objects=[
+            Plane(point=(0, 0, 0), normal=(0, 1, 0), material=Lambertian()),
+            Sphere(center=(0, 3, 0), radius=0.5,
+                   material=Lambertian(albedo=(0, 0, 0), emission=(4, 4, 4))),
+        ],
+    )
+    data = scene.compile()
+    assert data.nee_ok
+    assert data.n_lt_sph == 1
+    row = np.asarray(data.lt_sph)[0]
+    np.testing.assert_allclose(row, [0, 3, 0, 0.5, 4, 4, 4])
+
+
+def test_nee_gating():
+    """Emissive planes / lightless scenes void nee_ok, and the driver
+    refuses Camera(nee=True) on them."""
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+
+    lit_plane = Scene(
+        camera=Camera(screen_width=4, screen_height=4, aa_sample_count=1,
+                      nee=True),
+        objects=[
+            Plane(point=(0, 0, 0), normal=(0, 1, 0), material=Lambertian()),
+            Plane(point=(0, 8, 0), normal=(0, -1, 0),
+                  material=Lambertian(emission=(3, 3, 3))),
+        ],
+    )
+    assert not lit_plane.compile().nee_ok
+    with pytest.raises(ValueError, match="nee"):
+        render_to_image(lit_plane, verbose=False)
+
+    no_light = Scene(
+        camera=Camera(screen_width=4, screen_height=4, aa_sample_count=1),
+        objects=[Plane(point=(0, 0, 0), normal=(0, 1, 0), material=Lambertian())],
+    )
+    assert not no_light.compile().nee_ok
+
+
+def _paired_radiance(n_px=24, spp=256, depth=4):
+    """Per-chain radiance from the plain and NEE estimators over the SAME
+    primary rays and scatter draws (shared sites, utils/rng.py): the
+    indirect chains are identical paths, so the estimator difference is
+    exactly (NEE terms − suppressed emission) with expectation 0."""
+    scene = cornell.build_config3(width=16, height=16, spp=spp, path_depth=depth)
+    data = scene.compile()
+    key = threefry.key_words(7)
+    pixel_ids = jnp.arange(n_px, dtype=jnp.int32) * 7 % 256
+    o, d = scene.camera.generate_rays(key, pixel_ids, spp=spp)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    uids = (
+        pixel_ids[:, None] * jnp.int32(spp)
+        + jnp.arange(spp, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+
+    plain, _ = integrator.path_trace(data, o, d, uids, key, depth, 100.0)
+    neer, _ = integrator.path_trace_nee(data, o, d, uids, key, depth, 100.0)
+    return (
+        np.asarray(plain).reshape(n_px, spp, 3),
+        np.asarray(neer).reshape(n_px, spp, 3),
+    )
+
+
+@pytest.mark.slow
+def test_nee_same_mean_lower_variance():
+    plain, neer = _paired_radiance()
+    pm = plain.mean(axis=1)
+    nm = neer.mean(axis=1)
+    # equal expectation at equal depth (last-bounce NEE gate): per-pixel
+    # means agree within the PAIRED estimator's noise
+    scale = max(pm.mean(), 1e-3)
+    assert np.abs(pm - nm).mean() < 0.12 * scale, (
+        pm.mean(), nm.mean(), np.abs(pm - nm).mean()
+    )
+    # global means tighter still
+    np.testing.assert_allclose(nm.mean(), pm.mean(), rtol=0.06)
+
+    # config3's lights are LARGE (plain paths find them often), so the
+    # variance win here is modest — assert it exists; the collapse is
+    # asserted on the small-light scene below (measured ratio ~0.67
+    # here, 2026-08-18)
+    pv = plain.var(axis=1).mean()
+    nv = neer.var(axis=1).mean()
+    assert nv < 0.85 * pv, (nv, pv)
+
+
+def _small_light_scene(spp, radius=0.08):
+    # the light sits ABOVE AND BEHIND the down-pitched camera, outside
+    # any (multi-jittered, >1px-capable) primary ray's reach: a single
+    # direct 300-emission camera hit would spike the per-sample variance
+    # identically in both estimators and mask NEE's collapse
+    return Scene(
+        camera=Camera(
+            eyepoint=(0.0, 1.2, 3.0), view_dir=(0.0, -0.55, -1.0),
+            up=(0.0, 1.0, 0.0), screen_width=8, screen_height=8,
+            aa_sample_count=spp, path_depth=3,
+        ),
+        objects=[
+            Plane(point=(0, 0, 0), normal=(0, 1, 0),
+                  material=Lambertian(albedo=(0.7, 0.7, 0.7))),
+            Sphere(center=(0.0, 2.5, 4.0), radius=radius,
+                   material=Lambertian(albedo=(0, 0, 0),
+                                       emission=(300.0, 300.0, 300.0))),
+        ],
+    )
+
+
+@pytest.mark.slow
+def test_nee_small_light_mean_and_collapse():
+    """A small out-of-frame sphere light over a lambertian floor: plain
+    paths rarely find it (spiky variance); NEE must (a) converge to the
+    SAME mean — this pins the reference's hidden 3/4 ball-length factor
+    in the diffuse transport (nee.py::_diffuse_mask doc; with albedo/π
+    instead, NEE would read ~4/3 too bright, far outside the tolerance)
+    — and (b) collapse the per-sample variance by orders of magnitude
+    (measured ratio 0.0067 at this config, 2026-08-18; plain needs the
+    0.3 radius to land enough hits for ITS mean to converge — at 0.08
+    the plain mean itself is ±50% noise)."""
+    spp = 4096
+    scene = _small_light_scene(spp, radius=0.3)
+    data = scene.compile()
+    assert data.nee_ok and data.n_lt_sph == 1
+    key = threefry.key_words(3)
+    n_px = 12
+    pixel_ids = jnp.arange(n_px, dtype=jnp.int32) * 5 % 64
+    o, d = scene.camera.generate_rays(key, pixel_ids, spp=spp)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    uids = (
+        pixel_ids[:, None] * jnp.int32(spp)
+        + jnp.arange(spp, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+
+    plain, _ = integrator.path_trace(data, o, d, uids, key, 3, 100.0)
+    neer, _ = integrator.path_trace_nee(data, o, d, uids, key, 3, 100.0)
+    plain = np.asarray(plain).reshape(n_px, spp, 3)
+    neer = np.asarray(neer).reshape(n_px, spp, 3)
+
+    pm = plain.mean(axis=(0, 1))
+    nm = neer.mean(axis=(0, 1))
+    assert pm.mean() > 0.05, "scene must actually be lit"
+    np.testing.assert_allclose(nm, pm, rtol=0.12)
+
+    pv = plain.var(axis=1).mean()
+    nv = neer.var(axis=1).mean()
+    assert nv < 0.05 * pv, (nv, pv)
+
+
+@pytest.mark.slow
+def test_nee_driver_end_to_end():
+    """Full driver render with NEE on (CPU): runs, finite, and brighter-
+    noise-free vs a same-spp plain render of a tiny cornell."""
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+
+    base = cornell.build_config3(width=16, height=16, spp=8, path_depth=4)
+    scene = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera, nee=True)
+    )
+    img, stats = render_to_image(scene, seed=0, verbose=False)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img.astype(np.float64)).all()
+    # with 2-triangle lights at 8 spp, plain renders are mostly black
+    # speckle; NEE must actually light the scene
+    assert img.mean() > 2.0
