@@ -156,12 +156,19 @@ def _keycmp_mode() -> str:
     the unsigned pattern lose to every valid key. That drops one `or`
     per triangle from this kernel's signed chain (~3% of the
     op-count-bound scan) with BIT-IDENTICAL winner selection
-    (tests/test_bounce_kernel.py), and 3 ops/tri in the staged kernels
+    (tests/test_bounce_kernel.py), and 2 ops/tri in the staged kernels
     (scene_intersect/tri_scan_big, which also gain the t_min-shifted
     domain in this mode). "s" (default) is the signed INT32_MAX-select
     chain. Default stays "s" until the on-chip smoke confirms Mosaic
     lowers the uint32 compare and the A/B wins (tools/round2_measure.sh
-    STEP 1b) — interpret-mode tests can't validate the TPU lowering."""
+    STEP 1b) — interpret-mode tests can't validate the TPU lowering.
+
+    Like every RT_* kernel knob, the env var is read at TRACE time: a
+    program cached by an outer jit (the driver's render_chunk) will NOT
+    see a mid-process flip — A/B runs must use fresh processes per mode,
+    as bench.py and the runbook do. tri_scan_big threads the mode as a
+    static jit arg, which protects its DIRECT (eager/test) callers only.
+    """
     import os
 
     return os.environ.get("RT_KEYCMP", "s")

@@ -285,7 +285,6 @@ def _make_kernel(counts, exact_recip=False):
         import numpy as _np
 
         EPS_BITS = jnp.int32(_np.float32(MT_EPSILON).view(_np.int32))
-        EPS2 = jnp.float32(float(MT_EPSILON) * float(MT_EPSILON))
         unsigned_key = _keycmp_mode() == "u"
         best_t0 = carry[0]
         if unsigned_key:
@@ -293,13 +292,12 @@ def _make_kernel(counts, exact_recip=False):
             # contract, RT_KEYCMP doc): the mesh-space origin is advanced
             # by t_min·d, so every live candidate is t' = t − t_min ≥ 0
             # whose sign bit replaces the per-triangle `t − t_min` reject
-            # subtraction, rejected candidates are forced to 0xFFFFFFFF,
-            # and the grazing reject fuses to one den²−eps² FMA — 3 fewer
-            # ops per triangle than the signed unshifted chain. The
-            # where() guard keeps empty occlusion windows
-            # (t_max < t_min, dead rays) losing: their key0 is 0, which
-            # no candidate beats unsigned (the signed chain got this from
-            # the negative key pattern instead).
+            # subtraction, and rejected candidates are forced to
+            # 0xFFFFFFFF — 2 fewer ops per triangle than the signed
+            # unshifted chain. The where() guard keeps empty occlusion
+            # windows (t_max < t_min, dead rays) losing: their key0 is 0,
+            # which no candidate beats unsigned (the signed chain got
+            # this from the negative key pattern instead).
             key0 = bci(jnp.where(best_t0 > t_min, best_t0 - t_min, 0.0))
         else:
             key0 = bci(best_t0)
@@ -359,11 +357,15 @@ def _make_kernel(counts, exact_recip=False):
                      + mesh_bw[rb + 10] * pz + mesh_bw[rb + 11])
                 if unsigned_key:
                     # t' < 0 loses by its own sign bit under the unsigned
-                    # min; rejected → 0xFFFFFFFF (always loses); grazing
-                    # reject as one den²−eps² FMA (bounce.py contract:
-                    # den² underflow for |den| < ~1e-19 still rejects).
+                    # min; rejected → 0xFFFFFFFF (always loses). The
+                    # grazing reject keeps this kernel's EXACT |den|-bits
+                    # form (a den²−eps² FMA would save one more op but
+                    # flips accepts within ulps of the 1e-4 boundary —
+                    # the A/B tests assert hit-set equality across modes,
+                    # and den is domain-shift-independent, so exactness
+                    # here keeps the grazing set identical).
                     rej = (bci(u) | bci(v)) | bci((1.0 - u) - v)
-                    rej = rej | bci(den * den - EPS2)
+                    rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
                     cand = bci(t) | (rej >> 31)
                     ok = bcu(cand) < bcu(key)
                 else:

@@ -84,7 +84,6 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
     INTMAX = jnp.int32(2147483647)
     ABS_MASK = jnp.int32(0x7FFFFFFF)
     EPS_BITS = jnp.int32(np.float32(MT_EPSILON).view(np.int32))
-    EPS2 = jnp.float32(MT_EPSILON * MT_EPSILON)
 
     def bci(x):
         return jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -165,10 +164,12 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
             # t_min-shifted domain (the wrapper pre-advanced the origin
             # and shipped t_min = 0, t_max' = max(t_max − t_min, 0)):
             # t' < 0 loses by its own sign bit under the unsigned min,
-            # rejected → 0xFFFFFFFF, grazing reject as one den²−eps²
-            # FMA — 3 fewer ops per triangle (scene_intersect.py twin).
+            # rejected → 0xFFFFFFFF — 2 fewer ops per triangle. The
+            # grazing reject keeps the EXACT |den|-bits form so the
+            # accepted grazing set is identical across modes
+            # (scene_intersect.py twin has the rationale).
             rej = (bci(u) | bci(v)) | bci((1.0 - u) - v)
-            rej = rej | bci(den * den - EPS2)
+            rej = rej | ((bci(den) & ABS_MASK) - EPS_BITS)
             cand = bci(t) | (rej >> 31)
             ok = bcu(cand) < bcu(best_k)
         else:
@@ -252,7 +253,10 @@ def tri_scan_big_pallas(
     from cs397raytracingsp22_tpu.ops.pallas.bounce import _keycmp_mode
 
     # the key-compare mode is a STATIC jit arg (not an env read inside
-    # the trace) so in-process A/B sweeps never hit a stale cache entry
+    # the trace) so DIRECT in-process A/B calls (the tests) never hit a
+    # stale cache entry; under an outer jit (the driver's render_chunk)
+    # the env is still read at that trace time like every RT_* knob —
+    # A/B whole renders with fresh processes (bounce._keycmp_mode doc)
     return _tri_scan_big_jit(
         o, d, big_bw, big_box, big_sl, t_min, t_max,
         interpret=interpret, keycmp=_keycmp_mode(),

@@ -305,19 +305,22 @@ def path_trace_nee(
         factor = (dot_term / pdf)[:, None] * att
 
         if depth < path_depth - 1:
-            contrib, did = neelib.direct_light(
+            contrib, did, shadow_segs = neelib.direct_light(
                 scene, hit, d, u_choice, live_hit, uids, rng_key,
-                depth, PATH_T_MIN,
+                depth, PATH_T_MIN, max_trace_dist,
             )
             rad = rad + jnp.where(live_hit[:, None], thr * contrib, 0.0)
             prev_nee = live_hit & did
         else:
             prev_nee = jnp.zeros((n,), bool)
+            shadow_segs = jnp.zeros((), jnp.float32)
 
         thr = jnp.where(live_hit[:, None], thr * factor, thr)
         o = jnp.where(live_hit[:, None], hit.point, o)
         d = jnp.where(live_hit[:, None], new_dir, d)
-        segments = segments + jnp.sum(alive.astype(jnp.float32))
+        # shadow rays are real traced segments (full scene sweep each):
+        # count them so --nee stats-json Mrays/s stays honest
+        segments = segments + jnp.sum(alive.astype(jnp.float32)) + shadow_segs
         alive = live_hit
 
     return rad, segments

@@ -51,13 +51,19 @@ from cs397raytracingsp22_tpu.utils.rng import SITE_NEE0
 
 PI = 3.14159265358979
 FOUR_PI = 4.0 * PI
-# Shadow window upper bound in units of |x−y|: strictly below 1 so the
-# sampled light itself never occludes its own sample. The 1e-3 relative
-# gap mirrors the reference's 0.001 acne epsilon on the near side.
+# Shadow window upper bound as a fraction of the light's own ray
+# parameter t_light: strictly below 1 so the sampled light itself never
+# occludes its own sample. The 1e-3 relative gap mirrors the
+# reference's 0.001 acne epsilon on the near side.
 SHADOW_T_MAX = 1.0 - 1e-3
 
 
-def _diffuse_mask(hit: HitRecord, d_in: jnp.ndarray, u_choice: jnp.ndarray):
+def _diffuse_mask(
+    hit: HitRecord,
+    d_in: jnp.ndarray,
+    u_choice: jnp.ndarray,
+    has_normal: jnp.ndarray,
+):
     """NEE-applicability mask + converged BRDF value per ray.
 
     Lambertian: always applies, f = (3/4)·albedo/π. The 3/4 is the
@@ -75,21 +81,33 @@ def _diffuse_mask(hit: HitRecord, d_in: jnp.ndarray, u_choice: jnp.ndarray):
     (u_choice < k_d, k_s = fresnel(d_in, n, 1.5)·(1−rough),
     k_d = (1−k_s)·(1−metallic)) so bsdf.scatter's signature stays
     untouched; f = (3/4)·albedo/π (the metallic tint is specular-only).
-    Metal/Dielectric: never (delta lobes keep emission-on-hit)."""
+    Metal/Dielectric: never (delta lobes keep emission-on-hit).
+    Isotropic ON A SURFACE (nonzero normal — possible since any object
+    accepts any Material): excluded. Its plain transport is two-sided
+    |cos| WITH the ball-length factor — neither of NEE's two cos_x
+    conventions — so those vertices keep plain by-chance transport
+    (emission un-suppressed, still consistent).
+
+    Returns (applies, f, ball_weighted): for ball_weighted rays the
+    caller multiplies f by ITS sampled shadow ball length r — not the
+    deterministic mean 3/4 — because the plain estimator's r appears in
+    the dot_term AND in every t-unit quantity (volume free-flight
+    transmittance, max_trace_dist reach), and those are positively
+    correlated: E[r·T(r)] > E[r]·E[T(r)]. A mean-field 3/4 measured
+    ~15% dim on a fog scene (2026-08-18 probe) — the shared sample
+    captures the correlation exactly."""
     albedo = hit.albedo
     mtype = hit.mtype
     lam = mtype == mat.LAMBERTIAN
-    iso = mtype == mat.ISOTROPIC
+    iso = (mtype == mat.ISOTROPIC) & ~has_normal
     par = mtype == mat.PARAMETERIZED
     fres15 = vm.fresnel(d_in, hit.normal, 1.5)
     k_s = fres15 * (1.0 - hit.roughness)
     k_d = (1.0 - k_s) * (1.0 - hit.metallic)
     par_diffuse = par & (u_choice < k_d)
     applies = lam | iso | par_diffuse
-    f = jnp.where(
-        iso[:, None], albedo / FOUR_PI, 0.75 * albedo / PI
-    )
-    return applies, f
+    f = jnp.where(iso[:, None], albedo / FOUR_PI, albedo / PI)
+    return applies, f, ~iso
 
 
 def sample_light_point(scene: SceneData, u_pick, u1, u2):
@@ -156,33 +174,57 @@ def direct_light(
     rng_key,
     depth: int,
     t_min: float,
+    max_trace_dist: float,
 ):
     """One NEE sample per live diffuse-like vertex.
 
     Returns (contribution (N,3) — NOT yet multiplied by throughput —
-    and did_nee (N,) for the caller's next-vertex emission suppression).
-    Draws live at SITE_NEE0 + depth so the base path's draws are
-    untouched (utils/rng.py).
+    did_nee (N,) for the caller's next-vertex emission suppression, and
+    the number of shadow rays actually traced this bounce, for honest
+    Mrays/s accounting). Draws live at SITE_NEE0 + depth so the base
+    path's draws are untouched (utils/rng.py).
+
+    The shadow ray is length-matched to the plain estimator: its
+    direction is the UNIT direction scaled by a sampled ball length
+    r ~ u^(1/3) — the same |v| distribution the diffuse scatter
+    directions carry. Everything the reference measures in ray-parameter
+    units then agrees in distribution with the plain estimator's scatter
+    ray toward the light: volume free-flight occlusion (sampled in t
+    units, so transmittance is exp(−ρ·span_world/|v|)) and the
+    max_trace_dist reach (a light at world distance L is reachable iff
+    L ≤ max_trace_dist·|v|). A fixed-length shadow ray would attenuate
+    media by exp(−ρ·span/L) and reach past the trace limit — an
+    orders-of-magnitude direct-light bias on foggy or short-trace-range
+    scenes.
+
+    `did` (the caller's suppression flag) is the NEE ATTEMPT — it stays
+    True when the sample lands occluded OR out of reach, because both
+    gates are part of the stochastic estimator whose expectation already
+    covers the emission; suppressing only on success would re-count the
+    plain emission on every failed sample (a (2−p) double count).
     """
     n_vol = scene.vol_center.shape[0]
     u = threefry.counter_uniforms(
-        rng_key, uids, SITE_NEE0 + depth, 3 + n_vol + scene.n_gvols
+        rng_key, uids, SITE_NEE0 + depth, 4 + n_vol + scene.n_gvols
     )
     x, n_l, emission, inv_pdf = sample_light_point(
         scene, u[:, 0], u[:, 1], u[:, 2]
     )
 
-    applies, f = _diffuse_mask(hit, d_in, u_choice)
+    has_normal = vm.magnitude2(hit.normal) > 0.0
+    applies, f, ball_weighted = _diffuse_mask(
+        hit, d_in, u_choice, has_normal
+    )
     did = live & applies
 
     to_l = x - hit.point
     dist2 = jnp.sum(to_l * to_l, axis=-1)
     inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+    dist = dist2 * inv_dist
     wl = to_l * inv_dist[:, None]
 
     # cosθ at the shading point: clip(·,0,1) like the estimator's
     # dot_term (tracing.rs:313), forced to 1 for zero-normal volume hits
-    has_normal = vm.magnitude2(hit.normal) > 0.0
     cos_x = jnp.where(
         has_normal,
         jnp.clip(jnp.sum(wl * hit.normal, axis=-1), 0.0, 1.0),
@@ -191,17 +233,26 @@ def direct_light(
     # two-sided lights (reference emission has no face test)
     cos_y = jnp.abs(jnp.sum(wl * n_l, axis=-1))
 
-    # shadow ray in |to_l| units: window [t_min, 1−ε) reaches the light
-    # but never the light itself; dead/non-NEE rays get an empty window
-    # so kernels skip them. Volume hits along the way ARE occlusion —
-    # the free-flight draw makes V a stochastic transmittance estimator.
-    sh_o = jnp.where(did[:, None], hit.point, 0.0)
-    sh_dir = jnp.where(did[:, None], to_l, jnp.float32(1.0))
-    t_max = jnp.where(did, jnp.float32(SHADOW_T_MAX), 0.0)
-    sh = intersect_scene(scene, sh_o, sh_dir, t_min, t_max, u[:, 3:])
+    # ball-length-matched shadow ray (docstring): |d| = r, light at
+    # t = dist/r, window [t_min, (1−ε)·dist/r) finds every occluder
+    # strictly between the vertex and the light but never the light
+    # itself; dead/non-NEE rays get an empty window so kernels skip
+    # them. A volume hit inside the window IS occlusion — the
+    # free-flight draw makes V a stochastic transmittance estimator
+    # with exactly the plain estimator's t-unit convention.
+    r_len = jnp.maximum(u[:, 3] ** (1.0 / 3.0), 1e-6)
+    t_light = dist / r_len
+    shoot = did & (t_light <= jnp.float32(max_trace_dist))
+    sh_o = jnp.where(shoot[:, None], hit.point, 0.0)
+    sh_dir = jnp.where(shoot[:, None], wl * r_len[:, None], jnp.float32(1.0))
+    t_max = jnp.where(shoot, jnp.float32(SHADOW_T_MAX) * t_light, 0.0)
+    sh = intersect_scene(scene, sh_o, sh_dir, t_min, t_max, u[:, 4:])
     visible = ~sh.valid
 
+    # the ball-length factor rides the SAME r as the shadow ray
+    # (_diffuse_mask doc: correlated with transmittance and reach)
     geo = cos_x * cos_y / jnp.maximum(dist2, 1e-12) * inv_pdf
-    ok = did & visible
+    geo = geo * jnp.where(ball_weighted, r_len, 1.0)
+    ok = shoot & visible
     contrib = jnp.where(ok[:, None], f * emission * geo[:, None], 0.0)
-    return contrib, did
+    return contrib, did, jnp.sum(shoot.astype(jnp.float32))

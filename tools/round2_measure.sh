@@ -46,6 +46,18 @@ run 1800 python -m cs397raytracingsp22_tpu.cli scenes/textured_spheres.py \
   -o /tmp/r2_cfg4.png --width 512 --height 512 --spp 64 --stats-json /tmp/r2_cfg4.json
 say "cfg4 stats:"; cat /tmp/r2_cfg4.json >> "$LOG" 2>&1
 
+say "STEP 6b: NEE on-chip (compiles + lights every pixel at 8spp; feature gate for --nee)"
+run 900 python -m cs397raytracingsp22_tpu.cli scenes/cornell.py --nee \
+  -o /tmp/r2_nee.png --width 256 --height 256 --spp 8 --stats-json /tmp/r2_nee.json
+run 120 python - <<'EOF'
+import numpy as np
+from PIL import Image
+a = np.asarray(Image.open("/tmp/r2_nee.png"))
+frac = (a.sum(-1) > 0).mean()
+print("nee nonblack frac", frac, "mean", a.mean())
+assert frac > 0.95, "NEE render should light every pixel at 8spp"
+EOF
+
 say "STEP 7: artifact diff vs committed golden (parity gate)"
 run 700 python - <<'EOF'
 import numpy as np
