@@ -198,7 +198,12 @@ def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
     o, d, uids = _raygen_jit(
         camera, pixel_ids, rng_key, sample_offset, spp, n_chains
     )
-    radiance, segments = integrator.path_trace_shrink(
+    trace = (
+        integrator.path_trace_nee_shrink
+        if camera.nee
+        else integrator.path_trace_shrink
+    )
+    radiance, segments = trace(
         scene, o, d, uids, rng_key, camera.path_depth, camera.max_trace_dist
     )
     rad_sum = _pixel_sum(radiance, n_px, spp * n_chains) / n_chains
@@ -388,11 +393,11 @@ def render_to_image(
 
         use_shrink = (
             cam.shading_mode is not ShadingMode.PHONG
-            and not cam.nee  # NEE runs its own integrator (render/nee.py)
             and _use_pallas()
             and not _bounce_kernel.scene_is_simple(scene_data)
             and os.environ.get("RT_SHRINK", "1") == "1"
-        )
+        )  # with cam.nee the staged executor runs the NEE twin
+           # (path_trace_nee_shrink) — same shrink machinery
 
         if use_shrink:
 

@@ -102,23 +102,28 @@ def _coherence_key(o, d, alive):
     )
 
 
-def _sort_state(o, d, thr, rad, uids, pos, alive):
+def _sort_state(o, d, thr, rad, uids, pos, alive, extra_i=None):
     """Coherence sort of the full wavefront state (dead rays last, then
     the position-major Morton key): the ONE multi-operand `lax.sort`
     every executor shares — XLA scatter compaction measured 13.8×
     slower, so sorting is the only reordering primitive used. The
     content-keyed RNG (uids travel with the rays) makes any permutation
-    produce bit-identical radiance."""
+    produce bit-identical radiance.
+
+    extra_i: optional (N,) int32 rider permuted with the state (the NEE
+    executors carry their emission-suppression flag this way); returned
+    as the last element when given."""
     key = _coherence_key(o, d, alive)
+    ops = [key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+           thr[:, 0], thr[:, 1], thr[:, 2],
+           rad[:, 0], rad[:, 1], rad[:, 2],
+           uids, pos, alive.astype(jnp.int32)]
+    if extra_i is not None:
+        ops.append(extra_i)
+    out = jax.lax.sort(ops, num_keys=1)
     (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_,
-     rr_, rg_, rb_, uid_, pos_, al_) = jax.lax.sort(
-        [key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         thr[:, 0], thr[:, 1], thr[:, 2],
-         rad[:, 0], rad[:, 1], rad[:, 2],
-         uids, pos, alive.astype(jnp.int32)],
-        num_keys=1,
-    )
-    return (
+     rr_, rg_, rb_, uid_, pos_, al_) = out[:16]
+    base = (
         jnp.stack([ox_, oy_, oz_], axis=-1),
         jnp.stack([dx_, dy_, dz_], axis=-1),
         jnp.stack([tr_, tg_, tb_], axis=-1),
@@ -127,6 +132,9 @@ def _sort_state(o, d, thr, rad, uids, pos, alive):
         pos_,
         al_ > 0,
     )
+    if extra_i is None:
+        return base
+    return base + (out[16],)
 
 
 def _bounce_update(scene, o, d, thr, rad, alive, uids, rng_key, site,
@@ -236,6 +244,71 @@ def path_trace(
     return radiance, segments
 
 
+def _nee_bounce_update(
+    scene, o, d, thr, rad, alive, prev_nee, uids, rng_key, depth,
+    max_trace_dist, do_nee,
+):
+    """One NEE-estimator bounce (shared by path_trace_nee and
+    path_trace_nee_shrink exactly as _bounce_update is shared by the
+    plain executors). Deliberately separate from `_bounce_update` — that
+    helper is the reference-parity contract, and the NEE estimator
+    differs (emission suppression, direct-light term, gated last
+    bounce). The indirect chain uses the SAME draw sites as path_trace,
+    so turning NEE on changes only the estimator, not the sampled paths.
+
+    `depth` may be a traced scalar (it only feeds RNG sites); `do_nee`
+    must be static — the caller passes False for the LAST bounce, which
+    keeps the expectation identical to the depth-limited plain estimator
+    (an NEE term at depth k equals emission at a depth-(k+1) vertex —
+    nee.py module doc).
+
+    Returns (o, d, thr, rad, live_hit, prev_nee, segs-this-bounce)."""
+    from cs397raytracingsp22_tpu.render import nee as neelib
+
+    site = rnglib.SITE_BOUNCE0 + depth
+    ball, u_choice, u_vol = _bounce_draws(scene, rng_key, uids, site)
+    t_max = jnp.where(alive, jnp.float32(max_trace_dist), 0.0)
+    hit = intersect_scene(scene, o, d, PATH_T_MIN, t_max, u_vol)
+
+    live_hit = alive & hit.valid
+    live_miss = alive & ~hit.valid
+    rad = rad + jnp.where(live_miss[:, None], thr * background_color(d), 0.0)
+
+    # emission, suppressed where the PREVIOUS vertex's NEE sample
+    # already covered it (nee.py: everything a scatter ray hits first
+    # is straight-line visible from its origin)
+    emit_ok = live_hit & ~prev_nee
+    rad = rad + jnp.where(emit_ok[:, None], thr * hit.emission, 0.0)
+
+    new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
+    has_normal = vm.magnitude2(hit.normal) > 0.0
+    dot_term = jnp.where(
+        has_normal,
+        jnp.clip(jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0),
+        1.0,
+    )
+    factor = (dot_term / pdf)[:, None] * att
+
+    if do_nee:
+        contrib, did, shadow_segs = neelib.direct_light(
+            scene, hit, d, u_choice, live_hit, uids, rng_key,
+            depth, PATH_T_MIN, max_trace_dist,
+        )
+        rad = rad + jnp.where(live_hit[:, None], thr * contrib, 0.0)
+        prev_nee = live_hit & did
+    else:
+        prev_nee = jnp.zeros(alive.shape, bool)
+        shadow_segs = jnp.zeros((), jnp.float32)
+
+    thr = jnp.where(live_hit[:, None], thr * factor, thr)
+    o = jnp.where(live_hit[:, None], hit.point, o)
+    d = jnp.where(live_hit[:, None], new_dir, d)
+    # shadow rays are real traced segments (full scene sweep each):
+    # count them so --nee stats-json Mrays/s stays honest
+    segs = jnp.sum(alive.astype(jnp.float32)) + shadow_segs
+    return o, d, thr, rad, live_hit, prev_nee, segs
+
+
 def path_trace_nee(
     scene: SceneData,
     o: jnp.ndarray,
@@ -244,86 +317,175 @@ def path_trace_nee(
     rng_key,
     path_depth: int,
     max_trace_dist: float,
+    sort_rays: bool | None = None,
 ):
     """path_trace with next-event estimation (render/nee.py — opt-in,
     beyond the reference's by-chance light transport).
 
-    Deliberately a SEPARATE integrator rather than a flag inside
-    `_bounce_update`: that helper is the bit-parity contract shared by
-    every reference-faithful executor, and the NEE estimator differs
-    (extra carry for emission suppression, direct-light term, gated
-    last bounce). The indirect chain here uses the SAME draw sites as
-    path_trace, so turning NEE on changes only the estimator, not the
-    sampled paths.
-
-    NEE is applied at every vertex except the last bounce, which keeps
-    the expectation identical to the depth-limited plain estimator
-    (an NEE term at depth k equals emission at a depth-(k+1) vertex —
-    see nee.py module doc). Bounces are a static Python loop (vs
-    fori_loop) so the last-bounce gate compiles out.
+    Traceable (runs under render_chunk's jit and inside shard_map —
+    the inner per-bounce jit inlines); bounces are a static Python loop
+    so the last-bounce NEE gate compiles out. Each bounce goes through
+    the SAME jitted `_nee_bounce_once` program the shrink twin
+    dispatches — called eagerly, the three executors therefore run
+    literally identical compiled code and produce bit-identical
+    radiance (a Python op-by-op loop here measured 1-ulp off the jitted
+    twin: XLA's algebraic simplifier, e.g. div(a,sqrt(b))→a·rsqrt(b),
+    only fires inside fused programs). Big-mesh scenes get the same
+    per-bounce coherence sort as path_trace (the suppression flag rides
+    the sort as an extra operand); the host-orchestrated shrinking
+    variant for the staged driver path is path_trace_nee_shrink.
     """
-    from cs397raytracingsp22_tpu.render import nee as neelib
-
     assert scene.nee_ok, (
         "NEE requires every emissive object to be a standalone Triangle "
         "or Sphere (scene compiled with nee_ok=False)"
     )
+    if sort_rays is None:
+        sort_rays = _should_sort(scene)
+    if isinstance(rng_key, int):
+        rng_key = threefry.key_words(rng_key)
     n = o.shape[0]
     thr = jnp.ones((n, 3), jnp.float32)
     rad = jnp.zeros((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     prev_nee = jnp.zeros((n,), bool)
+    pos = jnp.arange(n, dtype=jnp.int32)
     segments = jnp.zeros((), jnp.float32)
 
+    if sort_rays:
+        o, d, thr, rad, uids, pos, alive, pn = _sort_state(
+            o, d, thr, rad, uids, pos, alive,
+            extra_i=prev_nee.astype(jnp.int32),
+        )
+        prev_nee = pn > 0
     for depth in range(path_depth):
-        site = rnglib.SITE_BOUNCE0 + depth
-        ball, u_choice, u_vol = _bounce_draws(scene, rng_key, uids, site)
-        t_max = jnp.where(alive, jnp.float32(max_trace_dist), 0.0)
-        hit = intersect_scene(scene, o, d, PATH_T_MIN, t_max, u_vol)
-
-        live_hit = alive & hit.valid
-        live_miss = alive & ~hit.valid
-        rad = rad + jnp.where(
-            live_miss[:, None], thr * background_color(d), 0.0
-        )
-
-        # emission, suppressed where the PREVIOUS vertex's NEE sample
-        # already covered it (nee.py: everything a scatter ray hits
-        # first is straight-line visible from its origin)
-        emit_ok = live_hit & ~prev_nee
-        rad = rad + jnp.where(emit_ok[:, None], thr * hit.emission, 0.0)
-
-        new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
-        has_normal = vm.magnitude2(hit.normal) > 0.0
-        dot_term = jnp.where(
-            has_normal,
-            jnp.clip(
-                jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0
-            ),
-            1.0,
-        )
-        factor = (dot_term / pdf)[:, None] * att
-
-        if depth < path_depth - 1:
-            contrib, did, shadow_segs = neelib.direct_light(
-                scene, hit, d, u_choice, live_hit, uids, rng_key,
-                depth, PATH_T_MIN, max_trace_dist,
+        (o, d, thr, rad, alive, prev_nee, uids, pos, segs, _) = (
+            _nee_bounce_once(
+                scene, o, d, thr, rad, alive, prev_nee, uids, pos,
+                rng_key, jnp.int32(depth), max_trace_dist,
+                do_nee=depth < path_depth - 1,
+                sort_exit=sort_rays and depth < path_depth - 1,
             )
-            rad = rad + jnp.where(live_hit[:, None], thr * contrib, 0.0)
-            prev_nee = live_hit & did
-        else:
-            prev_nee = jnp.zeros((n,), bool)
-            shadow_segs = jnp.zeros((), jnp.float32)
+        )
+        segments = segments + segs
 
-        thr = jnp.where(live_hit[:, None], thr * factor, thr)
-        o = jnp.where(live_hit[:, None], hit.point, o)
-        d = jnp.where(live_hit[:, None], new_dir, d)
-        # shadow rays are real traced segments (full scene sweep each):
-        # count them so --nee stats-json Mrays/s stays honest
-        segments = segments + jnp.sum(alive.astype(jnp.float32)) + shadow_segs
-        alive = live_hit
-
+    if sort_rays:
+        _, rr, rg, rb = jax.lax.sort(
+            [pos, rad[:, 0], rad[:, 1], rad[:, 2]], num_keys=1
+        )
+        rad = jnp.stack([rr, rg, rb], axis=-1)
     return rad, segments
+
+
+def _nee_bounce_once_core(
+    scene, o, d, thr, rad, alive, prev_nee, uids, pos, rng_key, depth,
+    max_trace_dist, do_nee, sort_exit,
+):
+    """One staged NEE bounce + optional exit sort (the NEE twin of
+    _bounce_once_core; `depth` is traced so all bounces of one width
+    share a compile, `do_nee`/`sort_exit` are static)."""
+    o, d, thr, rad, alive, prev_nee, segs = _nee_bounce_update(
+        scene, o, d, thr, rad, alive, prev_nee, uids, rng_key, depth,
+        max_trace_dist, do_nee,
+    )
+    if sort_exit:
+        o, d, thr, rad, uids, pos, alive, pn = _sort_state(
+            o, d, thr, rad, uids, pos, alive,
+            extra_i=prev_nee.astype(jnp.int32),
+        )
+        prev_nee = pn > 0
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    return o, d, thr, rad, alive, prev_nee, uids, pos, segs, n_alive
+
+
+_nee_bounce_once = jax.jit(
+    _nee_bounce_once_core,
+    static_argnames=("max_trace_dist", "do_nee", "sort_exit"),
+)
+
+
+def path_trace_nee_shrink(
+    scene: SceneData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    uids: jnp.ndarray,
+    rng_key,
+    path_depth: int,
+    max_trace_dist: float,
+    shrink_points: tuple = (1, 4),
+    min_width: int = 4096,
+):
+    """path_trace_nee with host-orchestrated per-bounce dispatch and the
+    SHRINKING wavefront of path_trace_shrink (see its docstring for the
+    bucket/retire mechanics — shared design, NEE estimator body). Used
+    by the driver for --nee renders of textured/big-mesh scenes, where
+    full-width dead-ray dispatches dominate; NOT traceable (host
+    round-trips at shrink_points)."""
+    assert scene.nee_ok, (
+        "NEE requires every emissive object to be a standalone Triangle "
+        "or Sphere (scene compiled with nee_ok=False)"
+    )
+    if isinstance(rng_key, int):
+        rng_key = threefry.key_words(rng_key)
+    n = o.shape[0]
+    state = (
+        o, d,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+        jnp.zeros((n,), bool),  # prev_nee
+        uids,
+        jnp.arange(n, dtype=jnp.int32),
+    )
+    sort_rays = _should_sort(scene)
+    if sort_rays:
+        o_, d_, thr_, rad_, uids_, pos_, alive_, pn = _sort_state(
+            state[0], state[1], state[2], state[3], state[6], state[7],
+            state[4], extra_i=state[5].astype(jnp.int32),
+        )
+        state = (o_, d_, thr_, rad_, alive_, pn > 0, uids_, pos_)
+
+    retired: list = []
+    segments = jnp.zeros((), jnp.float32)
+    width = n
+    for b in range(path_depth):
+        shrink_here = (
+            b in shrink_points and b < path_depth - 1 and width > min_width
+        )
+        o_, d_, thr, rad, alive, prev, uids_, pos = state
+        (o_, d_, thr, rad, alive, prev, uids_, pos, segs, n_alive) = (
+            _nee_bounce_once(
+                scene, o_, d_, thr, rad, alive, prev, uids_, pos, rng_key,
+                jnp.int32(b), max_trace_dist,
+                do_nee=b < path_depth - 1,
+                # no exit sort after the last bounce (nothing follows
+                # it) — keeps the dispatched programs identical to
+                # path_trace_nee's, which is the bit-identity contract
+                sort_exit=(sort_rays and b < path_depth - 1)
+                or shrink_here,
+            )
+        )
+        segments = segments + segs
+        state = (o_, d_, thr, rad, alive, prev, uids_, pos)
+        if shrink_here:
+            count = int(n_alive)
+            if count == 0:
+                break
+            new_w = width
+            while new_w // 4 >= max(count, min_width):
+                new_w //= 4
+            if new_w < width:
+                retired.append((pos[new_w:], rad[new_w:]))
+                state = tuple(x[:new_w] for x in state)
+                width = new_w
+
+    pos_parts = [state[7]] + [p for p, _ in retired]
+    rad_parts = [state[3]] + [r for _, r in retired]
+    pos_all = jnp.concatenate(pos_parts)
+    rad_all = jnp.concatenate(rad_parts)
+    _, rr, rg, rb = jax.lax.sort(
+        [pos_all, rad_all[:, 0], rad_all[:, 1], rad_all[:, 2]], num_keys=1
+    )
+    return jnp.stack([rr, rg, rb], axis=-1), segments
 
 
 def _bounce_once_core(

@@ -273,6 +273,50 @@ def test_nee_fog_and_reach_parity():
 
 
 @pytest.mark.slow
+def test_nee_executors_agree(monkeypatch):
+    """The three NEE executors — traceable path_trace_nee unsorted and
+    sorted (the suppression flag rides the coherence sort) and the
+    host-orchestrated shrinking path_trace_nee_shrink — must produce
+    identical radiance and segment counts (content-keyed RNG); and the
+    driver's staged --nee dispatch must match the plain-jnp driver
+    image bit-for-bit on a textured (staged-path) scene."""
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+    from tests.test_shrink import textured_scene
+
+    scene = textured_scene()
+    data = scene.compile()
+    assert data.nee_ok  # the mesh's albedo texture doesn't void NEE
+    rng = np.random.default_rng(1)
+    n = 1024
+    o = jnp.asarray(rng.uniform(-2, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    uids = jnp.arange(n, dtype=jnp.int32)
+    key = threefry.key_words(7)
+
+    a, sa = integrator.path_trace_nee(
+        data, o, d, uids, key, 6, 100.0, sort_rays=False
+    )
+    b, sb = integrator.path_trace_nee(
+        data, o, d, uids, key, 6, 100.0, sort_rays=True
+    )
+    c, sc = integrator.path_trace_nee_shrink(
+        data, o, d, uids, key, 6, 100.0, min_width=64
+    )
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(a))
+    assert float(sa) == float(sb) == float(sc)
+
+    nee_scene = dataclasses.replace(
+        scene, camera=dataclasses.replace(scene.camera, nee=True)
+    )
+    img_jnp, _ = render_to_image(nee_scene, seed=3, verbose=False)
+    monkeypatch.setenv("RT_PALLAS", "1")  # staged pipeline on CPU
+    img_staged, _ = render_to_image(nee_scene, seed=3, verbose=False)
+    np.testing.assert_array_equal(img_jnp, img_staged)
+    assert img_staged.mean() > 1.0
+
+
+@pytest.mark.slow
 def test_nee_driver_end_to_end():
     """Full driver render with NEE on (CPU): runs, finite, and brighter-
     noise-free vs a same-spp plain render of a tiny cornell."""
