@@ -284,6 +284,12 @@ def render_to_image(
     if scene_data is None:
         scene_data = scene.compile()
 
+    if cam.nee and cam.shading_mode is ShadingMode.PHONG:
+        raise ValueError(
+            "Camera(nee=True) has no effect under ShadingMode.PHONG — "
+            "NEE is a path-tracer estimator and the Phong debug shader "
+            "ignores it. Drop --nee or switch the scene to path shading."
+        )
     if cam.nee and not scene_data.nee_ok:
         raise ValueError(
             "Camera(nee=True) needs every emissive object to be a "
@@ -446,7 +452,30 @@ def render_to_image(
 
     spp_done = 0
     resume_accum = None
-    if checkpoint_path and os.path.exists(checkpoint_path):
+    if checkpoint_path and multiproc:
+        # only process 0 writes checkpoints (below); a host-local read
+        # on the other processes would disagree on spp_done (no shared
+        # FS ⇒ absent/stale file) and deadlock the global-mesh
+        # collectives — process 0's view is broadcast instead
+        from cs397raytracingsp22_tpu.parallel import multihost as _mh0
+
+        resume_accum, spp_done = _mh0.broadcast_checkpoint(
+            checkpoint_path, n_px_total, seed
+        )
+        if resume_accum is not None:
+            if mesh is not None and spp_done % int(mesh.shape["sp"]):
+                raise ValueError(
+                    f"checkpoint at spp_done={spp_done} is not divisible"
+                    f" by this mesh's sp axis ({int(mesh.shape['sp'])});"
+                    " resume on the original device configuration or"
+                    " finish the render without an sp axis"
+                )
+            if verbose:
+                print(
+                    f"[render] resuming from {checkpoint_path} at "
+                    f"{spp_done} spp"
+                )
+    elif checkpoint_path and os.path.exists(checkpoint_path):
         ckpt = np.load(checkpoint_path, allow_pickle=False)
         if ckpt["accum"].shape == (n_px_total, 3) and int(ckpt["seed"]) == seed:
             resume_accum = ckpt["accum"].astype(np.float32)

@@ -580,12 +580,14 @@ def path_trace_shrink(
         )
         # the exit sort parks dead rays at the tail — required at shrink
         # points (truncation correctness) and kept every bounce when the
-        # scene wants coherence sorting anyway (big meshes)
+        # scene wants coherence sorting anyway (big meshes); skipped
+        # after the FINAL bounce (nothing follows it, and the closing
+        # pos-keyed sort below restores caller order regardless)
         o_, d_, thr, rad, alive, uids_, pos = state
         (o_, d_, thr, rad, alive, uids_, pos, segs, n_alive) = _bounce_once(
             scene, o_, d_, thr, rad, alive, uids_, pos, rng_key,
             rnglib.SITE_BOUNCE0 + b, max_trace_dist,
-            sort_rays or shrink_here,
+            (sort_rays and b < path_depth - 1) or shrink_here,
         )
         segments = segments + segs
         state = (o_, d_, thr, rad, alive, uids_, pos)

@@ -66,7 +66,8 @@ def _diffuse_mask(
 ):
     """NEE-applicability mask + converged BRDF value per ray.
 
-    Lambertian: always applies, f = (3/4)·albedo/π. The 3/4 is the
+    Lambertian: applies at surface vertices (nonzero normal),
+    f = (3/4)·albedo/π. The 3/4 is the
     reference's hidden ball-length factor: its scatter direction is an
     UNNORMALIZED uniform-ball vector whose length feeds dot_term
     (tracing.rs:72 rand_sphere_vec, tracing.rs:313; bsdf.py carries the
@@ -87,6 +88,14 @@ def _diffuse_mask(
     |cos| WITH the ball-length factor — neither of NEE's two cos_x
     conventions — so those vertices keep plain by-chance transport
     (emission un-suppressed, still consistent).
+    Lambertian/Parameterized AT A ZERO-NORMAL VERTEX (a volume whose
+    phase function is one of them): excluded, the exact mirror of the
+    case above. The plain estimator there forces dot_term to 1
+    (tracing.rs:313) and the hemisphere frame is degenerate, so the
+    converged transport matches neither NEE weighting (a 2M-sample CPU
+    probe measured a 1.73× direct-light overcount when these vertices
+    were NEE'd with the surface convention, 2026-08-18); they keep
+    plain by-chance transport instead.
 
     Returns (applies, f, ball_weighted): for ball_weighted rays the
     caller multiplies f by ITS sampled shadow ball length r — not the
@@ -98,9 +107,9 @@ def _diffuse_mask(
     captures the correlation exactly."""
     albedo = hit.albedo
     mtype = hit.mtype
-    lam = mtype == mat.LAMBERTIAN
+    lam = (mtype == mat.LAMBERTIAN) & has_normal
     iso = (mtype == mat.ISOTROPIC) & ~has_normal
-    par = mtype == mat.PARAMETERIZED
+    par = (mtype == mat.PARAMETERIZED) & has_normal
     fres15 = vm.fresnel(d_in, hit.normal, 1.5)
     k_s = fres15 * (1.0 - hit.roughness)
     k_d = (1.0 - k_s) * (1.0 - hit.metallic)

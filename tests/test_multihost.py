@@ -88,6 +88,98 @@ def test_two_process_render_matches_single(tmp_path):
     np.testing.assert_array_equal(img_ref, img_mh)
 
 
+_CKPT_WORKER = r"""
+import os
+import sys
+sys.path.insert(0, "/root/repo")
+proc_id = int(sys.argv[1])
+coord = sys.argv[2]
+outdir = sys.argv[3]
+out = sys.argv[4]
+
+from cs397raytracingsp22_tpu.parallel import multihost
+
+pid, nproc = multihost.initialize(
+    coord, num_processes=2, process_id=proc_id, local_device_count=1
+)
+import jax
+assert jax.device_count() == 2
+
+import numpy as np
+from scenes import cornell
+
+scene = cornell.build(width=16, height=16, spp=4, path_depth=3)
+
+# phase A: uninterrupted full render = the equality reference
+img_full, _ = multihost.render_to_image_multihost(
+    scene, n_sp=1, seed=9, verbose=False, spp_chunk=2
+)
+
+# phase B1: same render, checkpointed, "killed" after the first spp
+# chunk — np.savez is wrapped to drop every write but the first, so the
+# file on disk is a genuine mid-render spp_done=2 checkpoint. The path
+# is PER-PROCESS (no shared filesystem): only process 0 ever writes.
+import cs397raytracingsp22_tpu.render.driver as drv
+ckpt = os.path.join(outdir, f"proc{pid}_ckpt.npz")
+orig_savez = np.savez
+calls = {"n": 0}
+def savez_once(path, **kw):
+    calls["n"] += 1
+    if calls["n"] == 1:
+        orig_savez(path, **kw)
+drv.np.savez = savez_once
+multihost.render_to_image_multihost(
+    scene, n_sp=1, seed=9, verbose=False, spp_chunk=2,
+    checkpoint_path=ckpt,
+)
+drv.np.savez = orig_savez
+assert os.path.exists(ckpt) == (pid == 0), "only process 0 writes"
+
+# phase B2: resume. Process 1 has NO checkpoint file — process 0's
+# spp_done must be broadcast (multihost.broadcast_checkpoint) or the
+# processes disagree on dispatch counts and the collectives deadlock.
+img_res, _ = multihost.render_to_image_multihost(
+    scene, n_sp=1, seed=9, verbose=False, spp_chunk=2,
+    checkpoint_path=ckpt,
+)
+assert (img_res == img_full).all(), "resumed render must be bit-identical"
+if pid == 0:
+    np.save(out, img_res)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """Checkpoint/resume on a 2-process mesh WITHOUT a shared
+    filesystem: only process 0 holds the checkpoint; resume must
+    broadcast its spp_done (driver + multihost.broadcast_checkpoint) and
+    reproduce the uninterrupted render bit-for-bit on every process."""
+    port = _free_port()
+    coord = f"localhost:{port}"
+    out = str(tmp_path / "ckpt_img.npy")
+    worker = str(tmp_path / "ckpt_worker.py")
+    with open(worker, "w") as f:
+        f.write(_CKPT_WORKER)
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), coord, str(tmp_path), out],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so[-2000:]}\n{se[-2000:]}"
+    assert os.path.exists(out)
+
+
 @pytest.mark.slow
 def test_cli_distributed_two_processes(tmp_path):
     """The CLI --distributed/--mesh flags run the same recipe: two

@@ -272,6 +272,102 @@ def test_nee_fog_and_reach_parity():
         assert float(did.mean()) == 1.0  # suppression flag ignores gates
 
 
+def test_nee_phong_rejected():
+    """--nee under ShadingMode.PHONG is a silent no-op estimator-wise;
+    the driver must refuse it instead of rendering Phong and letting the
+    user believe they compared NEE."""
+    from cs397raytracingsp22_tpu.models.camera import ShadingMode
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+
+    base = cornell.build_config3(width=4, height=4, spp=1)
+    scene = dataclasses.replace(
+        base,
+        camera=dataclasses.replace(
+            base.camera, nee=True, shading_mode=ShadingMode.PHONG
+        ),
+    )
+    with pytest.raises(ValueError, match="PHONG"):
+        render_to_image(scene, verbose=False)
+
+
+@pytest.mark.slow
+def test_nee_lambertian_phase_volume_excluded():
+    """A ConvexVolume whose phase function is Lambertian: its zero-normal
+    scatter vertices must NOT do NEE (nee.py::_diffuse_mask). The plain
+    estimator there forces dot_term to 1 with a degenerate hemisphere
+    frame — neither NEE cos_x convention matches (a 2M-sample probe
+    measured 1.73× direct-light overcount when they were NEE'd with the
+    surface weighting, 2026-08-18 review). Unit leg: direct_light at a
+    forced in-fog vertex contributes nothing and does not suppress.
+    Statistical leg: full-path NEE mean equals the plain mean."""
+    from cs397raytracingsp22_tpu import ConvexVolume
+    from cs397raytracingsp22_tpu.models import materials as mat
+    from cs397raytracingsp22_tpu.ops.intersect import intersect_scene
+    from cs397raytracingsp22_tpu.render import nee as neelib
+    from cs397raytracingsp22_tpu.utils import vecmath as vm
+
+    scene = Scene(
+        camera=Camera(
+            eyepoint=(0.0, 1.0, 3.0), view_dir=(0.0, 0.0, -1.0),
+            up=(0.0, 1.0, 0.0), screen_width=8, screen_height=8,
+            aa_sample_count=1, path_depth=4,
+        ),
+        objects=[
+            Plane(point=(0, 0, 0), normal=(0, 1, 0),
+                  material=Lambertian(albedo=(0.7,) * 3)),
+            Sphere(center=(0.0, 2.8, 0.0), radius=0.4,
+                   material=Lambertian(albedo=(0, 0, 0),
+                                       emission=(40.0,) * 3)),
+            ConvexVolume(
+                boundary=Sphere(center=(0.0, 1.0, 0.0), radius=0.8,
+                                material=Lambertian()),
+                phase_function=Lambertian(albedo=(0.8,) * 3),
+                density=3.0,
+            ),
+        ],
+    )
+    data = scene.compile()
+    assert data.nee_ok
+
+    # unit leg: u→1 forces an immediate in-fog scatter (free-flight → 0)
+    n = 4096
+    o = jnp.tile(jnp.asarray([0.0, 1.0, 2.0])[None, :], (n, 1))
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0])[None, :], (n, 1))
+    n_vol = data.vol_center.shape[0]
+    u_vol = jnp.full((n, n_vol), 1.0 - 1e-7)
+    hit = intersect_scene(data, o, d, 1e-3, 100.0, u_vol)
+    is_fog = (vm.magnitude2(hit.normal) == 0.0) & (
+        hit.mtype == mat.LAMBERTIAN
+    )
+    assert bool(is_fog.all())
+    c, did, _ = neelib.direct_light(
+        data, hit, d, jnp.zeros((n,)), jnp.ones((n,), bool),
+        jnp.arange(n, dtype=jnp.int32), threefry.key_words(5),
+        0, 1e-3, 100.0,
+    )
+    assert not bool(did.any())
+    assert float(jnp.abs(c).max()) == 0.0
+
+    # statistical leg: paired chains (shared RNG sites) → the estimator
+    # difference is exactly (NEE terms − suppressed emission), mean 0
+    spp, n_px = 512, 16
+    key = threefry.key_words(11)
+    pixel_ids = jnp.arange(n_px, dtype=jnp.int32) * 3 % 64
+    po, pd = scene.camera.generate_rays(key, pixel_ids, spp=spp)
+    po = po.reshape(-1, 3)
+    pd = pd.reshape(-1, 3)
+    uids = (
+        pixel_ids[:, None] * jnp.int32(spp)
+        + jnp.arange(spp, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    plain, _ = integrator.path_trace(data, po, pd, uids, key, 4, 100.0)
+    neer, _ = integrator.path_trace_nee(data, po, pd, uids, key, 4, 100.0)
+    pm = float(jnp.mean(plain))
+    nm = float(jnp.mean(neer))
+    assert pm > 0.01, "scene must actually be lit"
+    np.testing.assert_allclose(nm, pm, rtol=0.1)
+
+
 @pytest.mark.slow
 def test_nee_executors_agree(monkeypatch):
     """The three NEE executors — traceable path_trace_nee unsorted and

@@ -44,6 +44,27 @@ def test_sharded_matches_single_device(small_scene, shape):
     np.testing.assert_allclose(float(ref_segs), float(out_segs))
 
 
+def test_sharded_nee_matches_single_device():
+    """Camera(nee=True) under a ("dp","sp") mesh: the NEE integrator
+    rides the same render_chunk_core inside shard_map, so the sharded
+    driver image must be bit-identical to the single-device one."""
+    import dataclasses
+
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+
+    base = cornell.build_config3(width=16, height=16, spp=8, path_depth=3)
+    scene = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera, nee=True)
+    )
+    img_ref, _ = render_to_image(scene, seed=6, verbose=False)
+    mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
+    img_sh, _ = sharding.render_to_image_sharded(
+        scene, mesh, seed=6, verbose=False
+    )
+    np.testing.assert_array_equal(img_ref, img_sh)
+    assert img_ref.mean() > 1.0  # NEE actually lights the 8spp render
+
+
 def test_mesh_construction():
     mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
     assert mesh.shape["dp"] == 4 and mesh.shape["sp"] == 2
