@@ -35,6 +35,16 @@ def main(argv=None):
     p.add_argument("--spp-chunk", type=int, help="samples per accumulation chunk")
     p.add_argument("--pixel-chunk", type=int)
     p.add_argument("--stats-json", help="write render stats to this path")
+    p.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        dest="set_overrides",
+        help="extra build(**overrides) kwarg, repeatable — e.g. "
+        "--set obj_path=assets/teapot_6k.obj --set path_depth=4; "
+        "VALUE is parsed as a Python literal, else kept as a string",
+    )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
         "--nee",
@@ -96,6 +106,16 @@ def main(argv=None):
         overrides["height"] = args.height
     if args.spp:
         overrides["spp"] = args.spp
+    for kv in args.set_overrides:
+        key, eq, value = kv.partition("=")
+        if not eq or not key:
+            raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+        import ast
+
+        try:
+            overrides[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            overrides[key] = value  # bare strings (paths) stay strings
 
     mod = load_scene_module(args.scene)
     scene = mod.build(**overrides)

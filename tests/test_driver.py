@@ -96,6 +96,45 @@ def test_cli_end_to_end(tmp_path):
     assert img.size == (8, 8)
 
 
+@pytest.mark.slow
+def test_cli_set_overrides(tmp_path):
+    """--set KEY=VALUE forwards arbitrary build(**overrides) kwargs:
+    literals parse (path_depth=3 → int), and the stats record proves the
+    override reached the scene."""
+    out = str(tmp_path / "out.png")
+    stats = str(tmp_path / "stats.json")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "cs397raytracingsp22_tpu.cli",
+            "scenes/cornell.py", "-o", out,
+            "--width", "8", "--height", "8", "--spp", "2",
+            "--set", "path_depth=3",
+            "--stats-json", stats, "--cpu", "-q",
+        ],
+        cwd="/root/repo", env=env, capture_output=True, timeout=300,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    with open(stats) as f:
+        assert json.load(f)["path_depth"] == 3
+
+    # malformed --set fails fast with a clear message
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "cs397raytracingsp22_tpu.cli",
+            "scenes/cornell.py", "-o", out, "--set", "nonsense", "--cpu",
+        ],
+        cwd="/root/repo", env=env, capture_output=True, timeout=60,
+        text=True,
+    )
+    assert r.returncode != 0
+    assert "KEY=VALUE" in r.stderr
+
+
 def test_path_samples_chains():
     """path_samples > 1 (reference tracing.rs:310-318 branching) runs the
     chain-replication path: deterministic, statistically consistent with
