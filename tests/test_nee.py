@@ -180,6 +180,58 @@ def test_nee_small_light_mean_and_collapse():
 
 
 @pytest.mark.slow
+def test_nee_parameterized_material_mean_parity():
+    """NEE on a ParameterizedMaterial floor (roughness 0.5, metallic
+    0.3): the diffuse lobe NEEs with f = (3/4-ball)·albedo/π and the
+    SHARED branch uniform (bit-parity with ops/bsdf.py), the specular
+    lobe keeps by-chance transport — so the full-path NEE mean must
+    equal the plain mean while the variance collapses. Pins the weight
+    convention (metallic tint is specular-only) that the executor
+    bit-identity tests cannot see."""
+    from cs397raytracingsp22_tpu import ParameterizedMaterial
+
+    # 48 px × 8192 spp: the PLAIN side is the noisy one (spiky
+    # small-light hits); measured seed scatter of the mean ratio at
+    # this size is ±2% (4-seed probe, 2026-08-18) vs the 25%+ shift a
+    # wrong diffuse weight (4/3 or 3/4 factor) would produce
+    spp = 8192
+    scene = _small_light_scene(spp, radius=0.3)
+    scene = dataclasses.replace(
+        scene,
+        objects=[
+            Plane(point=(0, 0, 0), normal=(0, 1, 0),
+                  material=ParameterizedMaterial(
+                      albedo=(0.7, 0.7, 0.7), roughness=0.5,
+                      metallic=0.3)),
+            scene.objects[1],
+        ],
+    )
+    data = scene.compile()
+    assert data.nee_ok
+    key = threefry.key_words(13)
+    n_px = 48
+    pixel_ids = jnp.arange(n_px, dtype=jnp.int32) % 64
+    o, d = scene.camera.generate_rays(key, pixel_ids, spp=spp)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    uids = (
+        pixel_ids[:, None] * jnp.int32(spp)
+        + jnp.arange(spp, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+
+    plain, _ = integrator.path_trace(data, o, d, uids, key, 3, 100.0)
+    neer, _ = integrator.path_trace_nee(data, o, d, uids, key, 3, 100.0)
+    plain = np.asarray(plain).reshape(n_px, spp, 3)
+    neer = np.asarray(neer).reshape(n_px, spp, 3)
+
+    pm = plain.mean(axis=(0, 1))
+    nm = neer.mean(axis=(0, 1))
+    assert pm.mean() > 0.02, "scene must actually be lit"
+    np.testing.assert_allclose(nm, pm, rtol=0.1)
+    assert neer.var(axis=1).mean() < 0.1 * plain.var(axis=1).mean()
+
+
+@pytest.mark.slow
 def test_nee_fog_and_reach_parity():
     """direct_light at a vertex behind a participating medium, with and
     without a binding max_trace_dist, must match the plain estimator's
