@@ -155,6 +155,7 @@ _SCENE_DATA_FIELDS = [
         "n_lt_tri",
         "n_lt_sph",
         "nee_ok",
+        "gvol_eps",
     ],
 )
 @dataclasses.dataclass
@@ -257,6 +258,9 @@ class SceneData:
     n_lt_tri: int = 0
     n_lt_sph: int = 0
     nee_ok: bool = False
+    # per-gvol world-space grazing-reject epsilon, 1e-4·|det(transform)|
+    # (static metadata — see _boundary_tri_table)
+    gvol_eps: Tuple[float, ...] = ()
 
 
 @dataclasses.dataclass
@@ -272,16 +276,26 @@ class Scene:
         return compile_scene(self, leaf_size=leaf_size)
 
 
-def _boundary_tri_table(boundary) -> np.ndarray:
+def _boundary_tri_table(boundary) -> tuple[np.ndarray, float]:
     """Lower a non-sphere ConvexVolume boundary to a world-space
-    (T, 9) = [a, e1, e2] triangle table for the entry/exit scan.
+    (T, 9) = [a, e1, e2] triangle table for the entry/exit scan, plus
+    the volume's world-space grazing-reject epsilon.
 
     Supported: Triangle (one row) and StaticMesh (all triangles,
     transformed to world space — the reference intersects the boundary
     through its normal `intersect_ray`, geometry.rs:505-510, and the
     unnormalized-direction transform makes mesh t world-comparable, so
-    pre-transforming vertices yields the same t values directly)."""
+    pre-transforming vertices yields the same t values directly).
+
+    The epsilon: the reference rejects |det| < 1e-4 in the mesh's
+    OBJECT space (geometry.rs:335). det = (e1×e2)·d transforms as
+    det_world = det(M)·det_object under the linear part M of the mesh
+    transform (exactly, for any invertible M), so scanning the
+    pre-transformed triangles with 1e-4·|det(M)| reproduces the
+    reference's accept set — a plain 1e-4 would silently reject every
+    triangle of a small-scaled finely-tessellated boundary."""
     from cs397raytracingsp22_tpu.models.geometry import StaticMesh, Triangle
+    from cs397raytracingsp22_tpu.ops.bvh import MT_EPSILON
 
     if isinstance(boundary, Triangle):
         a = np.asarray(boundary.a, np.float32)
@@ -289,16 +303,18 @@ def _boundary_tri_table(boundary) -> np.ndarray:
             [a, np.asarray(boundary.b, np.float32) - a,
              np.asarray(boundary.c, np.float32) - a]
         ).reshape(1, 9)
-        return rows
+        return rows, MT_EPSILON
     if isinstance(boundary, StaticMesh):
         pos = boundary.mesh.positions.astype(np.float64)
         m = np.asarray(boundary.transform, np.float64)
         pos_w = pos @ m[:3, :3].T + m[:3, 3]
         tri = pos_w[boundary.mesh.indices]  # (T, 3, 3)
         a = tri[:, 0]
-        return np.concatenate(
+        rows = np.concatenate(
             [a, tri[:, 1] - a, tri[:, 2] - a], axis=1
         ).astype(np.float32)
+        eps = MT_EPSILON * float(abs(np.linalg.det(m[:3, :3])))
+        return rows, eps
     raise TypeError(
         f"unsupported ConvexVolume boundary {type(boundary)!r} "
         "(Sphere, Triangle, and StaticMesh are supported)"
@@ -321,7 +337,7 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
     pln_point, pln_normal, pln_mat = [], [], []
     tri_a, tri_b, tri_c, tri_mat = [], [], [], []
     vol_center, vol_radius, vol_density, vol_mat = [], [], [], []
-    gvol_tris, gvol_density, gvol_mat = [], [], []
+    gvol_tris, gvol_density, gvol_mat, gvol_eps = [], [], [], []
     mesh_blocks: list[MeshBlock] = []
 
     # NEE light extraction (render/nee.py, opt-in): emissive standalone
@@ -380,7 +396,9 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
                 # general boundary (geometry.rs:495 `Arc<dyn Intersectable>`):
                 # lower to a world-space triangle table scanned for
                 # entry/exit (intersect_general_volumes)
-                gvol_tris.append(_boundary_tri_table(obj.boundary))
+                rows, g_eps = _boundary_tri_table(obj.boundary)
+                gvol_tris.append(rows)
+                gvol_eps.append(g_eps)
                 gvol_density.append(obj.density)
                 gvol_mat.append(mats.add(obj.phase_function))
         elif isinstance(obj, StaticMesh):
@@ -437,9 +455,13 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         tri_np = np.concatenate([a_np, e1_np, e2_np, gn], axis=1).astype(np.float32)
     else:
         tri_np = np.zeros((1, 12), np.float32)
+    # kvol col 4 = -1/rho; rho = 0 means free flight never scatters
+    # (the reference's -ln(u)/0.0 = +inf, geometry.rs:517): -inf here
+    # gives dist = -inf·ln(u<1) = +inf, same pass-through — the jnp
+    # path's -1.0/vol_density yields the same -inf without a guard
     vol_np = np_pad(
         [
-            tuple(c) + (r, -1.0 / rho)
+            tuple(c) + (r, -1.0 / rho if rho > 0 else float("-inf"))
             for c, r, rho in zip(vol_center, vol_radius, vol_density)
         ],
         5,
@@ -447,7 +469,10 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
     )
     vol_np[len(vol_center):, :3] = 1e30
 
-    from cs397raytracingsp22_tpu.ops.bvh import DENSE_MESH_MAX_TRIS
+    from cs397raytracingsp22_tpu.ops.bvh import (
+        DENSE_MESH_MAX_TRIS,
+        tri_rows_aabb,
+    )
 
     # DENSE_MESH_MAX_TRIS bounds BOTH the per-mesh size and the TOTAL
     # over all dense meshes: the concatenated scan tables live in the
@@ -522,14 +547,7 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
             # bounds over REAL rows only — padding rows are all-zero and
             # would wrongly pull the group AABB to the origin
             rows = kmesh_tri[start + s0 : start + min(s0 + SL, real)]
-            a = rows[:, 0:3]
-            b = a + rows[:, 3:6]
-            c = a + rows[:, 6:9]
-            pts = np.concatenate([a, b, c], axis=0)
-            lo = pts.min(axis=0)
-            hi = pts.max(axis=0)
-            pad = 1e-4 + 1e-4 * np.abs(np.stack([lo, hi])).max(axis=0)
-            sl_bounds.append(np.concatenate([lo - pad, hi + pad]))
+            sl_bounds.append(tri_rows_aabb(rows))
         sl_ranges.append((first, len(sl_bounds) - first))
     ksl_bounds = (
         np.stack(sl_bounds).astype(np.float32)
@@ -561,6 +579,7 @@ def compile_scene(scene: Scene, leaf_size: int = 4) -> SceneData:
         gvol_tri=tuple(jnp.asarray(t) for t in gvol_tris),
         gvol_density=f32(gvol_density, None, 1.0),
         gvol_mat=i32(gvol_mat),
+        gvol_eps=tuple(gvol_eps),
         meshes=tuple(mesh_blocks),
         tex_pixels=jnp.asarray(packed.pixels),
         tex_offset=jnp.asarray(packed.offset),

@@ -53,6 +53,27 @@ import os as _os
 DENSE_MESH_MAX_TRIS = int(_os.environ.get("RT_DENSE_MAX_TRIS", "8192"))
 
 
+def tri_rows_aabb(rows: np.ndarray) -> np.ndarray:
+    """Eps-padded AABB [lo, hi] (6,) over (K, 9) [a, e1, e2] triangle
+    rows — THE group-bounds formula for every kernel tier's culling
+    (mega/staged superleafs in models/scene.py, piece + superleaf boxes
+    in ops/pallas/tri_scan_big.py). One definition keeps the tiers'
+    "culling is conservative, results bit-identical" contract in sync:
+    the pad absorbs the strict slab inequality on degenerate (flat)
+    groups and float rounding of the corner sums. Empty input returns
+    an inverted (never-hit) box."""
+    if rows.shape[0] == 0:
+        return np.array([1e30] * 3 + [-1e30] * 3, np.float32)
+    a = rows[:, 0:3]
+    b = a + rows[:, 3:6]
+    c = a + rows[:, 6:9]
+    pts = np.concatenate([a, b, c], axis=0)
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    pad = 1e-4 + 1e-4 * np.abs(np.stack([lo, hi])).max(axis=0)
+    return np.concatenate([lo - pad, hi + pad]).astype(np.float32)
+
+
 @dataclasses.dataclass
 class FlatBVH:
     """Host-side build result (numpy)."""
@@ -172,18 +193,23 @@ def _slab_test_running(o, d, bmin, bmax, t_min, t_max):
     return tmax > tmin
 
 
-def moller_trumbore(o, d, va, vb, vc, t_min, t_max):
+def moller_trumbore(o, d, va, vb, vc, t_min, t_max, eps=MT_EPSILON):
     """Batched Möller–Trumbore (geometry.rs:331-349 semantics).
 
     o, d: (..., 3); va/vb/vc: (..., 3) broadcastable triangle vertices.
     Returns (valid, t, u, v). Rejections exactly as the reference:
-    |det| < 1e-4, u < 0, v < 0, u+v > 1, t outside [t_min, t_max].
+    |det| < eps (1e-4 default, geometry.rs:335), u < 0, v < 0, u+v > 1,
+    t outside [t_min, t_max]. `eps` exists because det scales with the
+    det of any linear map applied to the triangle: callers scanning
+    PRE-TRANSFORMED (world-space) triangles must pass
+    1e-4·|det(transform)| to reproduce the reference's object-space
+    accept set (models/scene.py general-volume boundaries).
     """
     e1 = vb - va
     e2 = vc - va
     q = jnp.cross(d, e2)
     det = jnp.sum(e1 * q, axis=-1)
-    safe_det = jnp.where(jnp.abs(det) < MT_EPSILON, 1.0, det)
+    safe_det = jnp.where(jnp.abs(det) < eps, 1.0, det)
     f = 1.0 / safe_det
     s = o - va
     u = f * jnp.sum(s * q, axis=-1)
@@ -191,7 +217,7 @@ def moller_trumbore(o, d, va, vb, vc, t_min, t_max):
     v = f * jnp.sum(d * r, axis=-1)
     t = f * jnp.sum(e2 * r, axis=-1)
     valid = (
-        (jnp.abs(det) >= MT_EPSILON)
+        (jnp.abs(det) >= eps)
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)

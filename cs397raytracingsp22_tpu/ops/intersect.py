@@ -205,7 +205,8 @@ def intersect_volumes(scene: SceneData, o, d, t_min, t_max, u_vol):
 
 
 def intersect_general_volume(
-    tri_table: jnp.ndarray, density, o, d, t_min, t_max, u
+    tri_table: jnp.ndarray, density, o, d, t_min, t_max, u,
+    eps=bvhlib.MT_EPSILON,
 ):
     """One general-boundary ConvexVolume (geometry.rs:502-525 with a
     non-sphere `boundary`): two nearest-hit boundary queries — entry over
@@ -213,7 +214,12 @@ def intersect_general_volume(
     exit over (t_entr + 1e-4, +inf) — by scanning the boundary's triangle
     table, then the same free-flight sampling as the sphere path.
 
-    tri_table: (T, 9) world-space [a, e1, e2] rows.
+    tri_table: (T, 9) world-space [a, e1, e2] rows. `eps` is the
+    grazing-reject threshold IN WORLD SPACE: the reference intersects a
+    StaticMesh boundary in its object space where |det| >= 1e-4
+    (geometry.rs:335), and det scales by det(transform) under the
+    world pre-transform, so scene compilation passes
+    1e-4·|det(transform)| per volume (SceneData.gvol_eps).
     Returns (t, valid), both (N,).
     """
     t_min = jnp.asarray(t_min, jnp.float32)
@@ -222,7 +228,7 @@ def intersect_general_volume(
     b = a + tri_table[:, 3:6]
     c = a + tri_table[:, 6:9]
     ok, t, _, _ = bvhlib.moller_trumbore(
-        o[:, None, :], d[:, None, :], a, b, c, -_BIG, _BIG
+        o[:, None, :], d[:, None, :], a, b, c, -_BIG, _BIG, eps=eps
     )
     t_all = jnp.where(ok, t, _BIG)
     t_entr = jnp.min(t_all, axis=1)
@@ -497,7 +503,7 @@ def intersect_scene_jnp(
     for g in range(scene.n_gvols):
         t_g, v_g = intersect_general_volume(
             scene.gvol_tri[g], scene.gvol_density[g], o, d, t_min, t_max,
-            u_vol[:, n_vcols + g],
+            u_vol[:, n_vcols + g], eps=scene.gvol_eps[g],
         )
         candidates.append(
             dict(
@@ -693,7 +699,7 @@ def intersect_scene_fused(
     for g in range(scene.n_gvols):
         t_g, v_g = intersect_general_volume(
             scene.gvol_tri[g], scene.gvol_density[g], o, d, t_min, t_max,
-            u_vol[:, n_vcols + g],
+            u_vol[:, n_vcols + g], eps=scene.gvol_eps[g],
         )
         better = v_g & (t_g < jnp.where(valid, t, _BIG))
         t = jnp.where(better, t_g, t)

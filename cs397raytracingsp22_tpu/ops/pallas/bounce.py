@@ -1237,12 +1237,16 @@ def path_trace_pallas(
     return radiance, segments
 
 
-def _make_step_kernel(counts, *, t_min, max_dist, exact_recip=False):
+def _make_step_kernel(counts, *, t_min, max_dist, exact_recip=False,
+                      last=False):
     """One bounce as its own kernel (wavefront mode): state planes in,
     state planes out. Each grid block skips all compute when none of its
     rays are alive — with dead rays compacted to the tail between bounces
     (path_trace_wavefront), whole blocks of dead rays cost only their
-    block DMA."""
+    block DMA. `last` builds the final-bounce variant whose scatter is
+    compiled out (same specialization as the fused kernel's last
+    unrolled bounce): the caller only consumes radiance after it, so the
+    stale scatter-state outputs are never read."""
 
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
@@ -1264,7 +1268,7 @@ def _make_step_kernel(counts, *, t_min, max_dist, exact_recip=False):
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
             mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
-            primary=True, exact_recip=exact_recip,
+            primary=True, exact_recip=exact_recip, last=last,
         )
 
         any_alive = jnp.sum(alive_i[:]) > 0
@@ -1393,6 +1397,11 @@ def path_trace_wavefront(
     kernel = _make_step_kernel(
         counts, t_min=t_min, max_dist=max_trace_dist, exact_recip=interpret
     )
+    # final bounce: scatter never traced → emission-only variant
+    kernel_last = _make_step_kernel(
+        counts, t_min=t_min, max_dist=max_trace_dist,
+        exact_recip=interpret, last=True,
+    )
 
     ray_spec = pl.BlockSpec(
         (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -1413,7 +1422,7 @@ def path_trace_wavefront(
             [jnp.asarray(rng_key, jnp.uint32), jnp.asarray([_S0 + b], jnp.uint32)]
         )
         outs = pl.pallas_call(
-            kernel,
+            kernel_last if b == path_depth - 1 else kernel,
             grid=(grid,),
             in_specs=[smem] * 14 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
             + [ray_spec] * 14,

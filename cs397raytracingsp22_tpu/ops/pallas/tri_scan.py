@@ -10,8 +10,10 @@ speed (~50 vector ops per triangle per tile).
 
 Layout: rays are component-planar (ox, oy, oz, dx, dy, dz) plus per-ray
 t bounds, each padded to (G·BR, 128); the grid walks ray blocks. The
-triangle table (T, 9) = [a, e1, e2] per row lives in SMEM (T ≤ ~2000
-fits comfortably).
+triangle table [a, e1, e2] per row lives in SMEM, FLATTENED to 1-D
+(T·9,): a 2-D window pads the minor dim to 128 lanes and would bill
+T·128 floats — 4 MiB at the 8192-tri dense limit vs the 1 MiB SMEM —
+while 1-D rows bill T·9 (288 KiB at the limit).
 
 Semantics identical to ops/bvh.moller_trumbore (reference
 geometry.rs:331-349): |det| < 1e-4 / u<0 / v<0 / u+v>1 / t outside
@@ -38,15 +40,19 @@ def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, tmn, tmx, bt, bu, bv, bid, *, n_tri
 
     def body(t, carry):
         best_t, best_u, best_v, best_id = carry
-        ax = tri_ref[t, 0]
-        ay = tri_ref[t, 1]
-        az = tri_ref[t, 2]
-        e1x = tri_ref[t, 3]
-        e1y = tri_ref[t, 4]
-        e1z = tri_ref[t, 5]
-        e2x = tri_ref[t, 6]
-        e2y = tri_ref[t, 7]
-        e2z = tri_ref[t, 8]
+        # flattened 1-D SMEM table: a 2-D (T, 9) window pads the minor
+        # dim to 128 lanes and bills T·128 floats against the 1 MiB SMEM
+        # (OOMs at the 8192-tri dense limit); 1-D rows bill T·9
+        base = t * 9
+        ax = tri_ref[base + 0]
+        ay = tri_ref[base + 1]
+        az = tri_ref[base + 2]
+        e1x = tri_ref[base + 3]
+        e1y = tri_ref[base + 4]
+        e1z = tri_ref[base + 5]
+        e2x = tri_ref[base + 6]
+        e2y = tri_ref[base + 7]
+        e2z = tri_ref[base + 8]
 
         qx = dy[:] * e2z - dz[:] * e2y
         qy = dz[:] * e2x - dx[:] * e2z
@@ -110,6 +116,9 @@ def tri_scan_pallas(
 
     Returns (hit, t, tri_idx, u, v) matching ops/bvh.intersect_tris_scan.
     """
+    # compiled Pallas only exists on TPU; CPU/other backends run
+    # interpret mode (same guard as the sibling kernels)
+    interpret = interpret or jax.default_backend() != "tpu"
     n = o.shape[0]
     n_tris = tri_table.shape[0]
     block = block_rows * LANES
@@ -141,7 +150,7 @@ def tri_scan_pallas(
         out_specs=[ray_spec] * 4,
         out_shape=[out_shape, out_shape, out_shape, out_shape_i],
         interpret=interpret,
-    )(tri_table, *planes)
+    )(tri_table.reshape(-1), *planes)
 
     best_t = bt.reshape(-1)[:n]
     best_u = bu.reshape(-1)[:n]

@@ -40,6 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cs397raytracingsp22_tpu.ops import bvh as bvhlib
+
 MT_EPSILON = 1e-4
 LANES = 128
 
@@ -420,17 +422,9 @@ def pack_big_tables(tri_bw: np.ndarray, tri_table: np.ndarray):
     big_bw[:t] = tri_bw
 
     def bounds(lo_tri, hi_tri):
-        rows = tri_table[lo_tri:hi_tri]
-        if rows.shape[0] == 0:
-            return np.array([1e30] * 3 + [-1e30] * 3, np.float32)
-        a = rows[:, 0:3]
-        b = a + rows[:, 3:6]
-        c = a + rows[:, 6:9]
-        pts = np.concatenate([a, b, c], axis=0)
-        lo = pts.min(axis=0)
-        hi = pts.max(axis=0)
-        pad = 1e-4 + 1e-4 * np.abs(np.stack([lo, hi])).max(axis=0)
-        return np.concatenate([lo - pad, hi + pad]).astype(np.float32)
+        # shared group-bounds formula — keeps piece/superleaf culling
+        # geometrically consistent with the dense tiers' ksl_bounds
+        return bvhlib.tri_rows_aabb(tri_table[lo_tri:hi_tri])
 
     big_box = np.stack(
         [bounds(i * PIECE_TRIS, min((i + 1) * PIECE_TRIS, t)) for i in range(p)]

@@ -284,6 +284,20 @@ def render_to_image(
     if scene_data is None:
         scene_data = scene.compile()
 
+    # The Threefry counter identifies a ray by a 32-bit uid
+    # (pixel·spp·chains packing, _gen_chunk_rays); int32 wrap keeps the
+    # patterns distinct up to 2^32 tuples, beyond which distinct rays
+    # would share every draw (fully correlated paths — a silent quality
+    # regression, not noise).
+    total_uids = n_px_total * spp * n_chains
+    if total_uids > 2**32:
+        raise ValueError(
+            f"{w}x{h} at {spp} spp x {n_chains} chains = {total_uids:.3g} "
+            "rays, beyond the 2^32 distinct 32-bit RNG uids — rays would "
+            "repeat each other's draws. Render in tiles (separate "
+            "renders with different seeds) or reduce spp."
+        )
+
     if cam.nee and cam.shading_mode is ShadingMode.PHONG:
         raise ValueError(
             "Camera(nee=True) has no effect under ShadingMode.PHONG — "

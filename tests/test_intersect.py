@@ -211,3 +211,38 @@ def test_slab_axis_parallel_ray_on_face():
         o, d, jnp.asarray([-1.0, -1.0, -1.0]), jnp.asarray([1.0, 1.0, 1.0]), 0.001, 100.0
     )
     assert bool(running[0])
+
+
+def test_tri_scan_pallas_middle_tier_parity():
+    """tri_scan_pallas (interpret on CPU — the auto-guard, not an
+    explicit flag) vs the jnp scan on a >2048-triangle table: pins the
+    flattened 1-D SMEM layout at middle-tier sizes, where the old 2-D
+    (T, 9) window would bill T·128 lanes and OOM SMEM on TPU."""
+    from cs397raytracingsp22_tpu.ops.pallas.tri_scan import tri_scan_pallas
+
+    rng = np.random.default_rng(0)
+    n_tris = 2500
+    a = rng.uniform(-2, 2, (n_tris, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.4, 0.4, (n_tris, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.4, 0.4, (n_tris, 3)).astype(np.float32)
+    tri_verts = np.stack([a, a + e1, a + e2], axis=1)
+    tri_table = np.concatenate([a, e1, e2], axis=1)
+
+    n = 256
+    o = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    hit_j, t_j, id_j, u_j, v_j = bvhlib.intersect_tris_scan(
+        o, d, jnp.asarray(tri_verts), 1e-3, 100.0
+    )
+    hit_p, t_p, id_p, u_p, v_p = tri_scan_pallas(
+        o, d, jnp.asarray(tri_table), 1e-3, 100.0
+    )
+    hit = np.asarray(hit_j)
+    np.testing.assert_array_equal(hit, np.asarray(hit_p))
+    np.testing.assert_array_equal(np.asarray(id_j), np.asarray(id_p))
+    # miss-t conventions differ (jnp: t_max, kernel: inf) — compare hits
+    np.testing.assert_allclose(
+        np.asarray(t_j)[hit], np.asarray(t_p)[hit], rtol=1e-5, atol=1e-6
+    )
+    assert int(hit.sum()) > 50  # rays actually hit

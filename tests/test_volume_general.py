@@ -229,3 +229,65 @@ def test_render_with_mesh_boundary_volume():
     corner = img1[0:3, 0:3].mean()
     assert center > 5.0, center
     assert center < corner, (center, corner)
+
+
+def test_small_scaled_boundary_keeps_reference_accept_set():
+    """A scale(0.05) cube boundary: world-space det = det(M)·det_obj
+    shrinks by 1.25e-4, so a flat 1e-4 world reject would drop EVERY
+    boundary triangle and the medium would silently never scatter. The
+    per-volume eps (SceneData.gvol_eps = 1e-4·|det(M)|) reproduces the
+    reference's object-space accept set (geometry.rs:335,505-510)."""
+    s = 0.002  # cube det_w <= 4s^2|d| = 1.6e-5 < the flat 1e-4 reject
+    vol = _cube_volume(density=1e6, scale=s)  # dense: scatter certain
+    scene = Scene(camera=Camera(), objects=[vol]).compile()
+    np.testing.assert_allclose(scene.gvol_eps[0], MT_EPS * s**3, rtol=1e-5)
+
+    n = 8
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 3.0])[None, :], (n, 1))
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0])[None, :], (n, 1))
+    u = jnp.full((n,), 1.0 - 1e-7)  # u→1 ⇒ immediate scatter at entry
+    t, valid = isect.intersect_general_volume(
+        scene.gvol_tri[0], scene.gvol_density[0], o, d, 1e-3, 100.0, u,
+        eps=scene.gvol_eps[0],
+    )
+    assert bool(valid.all()), "scaled boundary must still scatter"
+    # entry at z = +s·(cube half extent): cube.obj spans [-1, 1]
+    np.testing.assert_allclose(np.asarray(t), 3.0 - s, atol=2e-3)
+
+    # with the un-scaled flat epsilon every triangle is rejected —
+    # the exact silent-fog failure this guards against
+    t_bad, valid_bad = isect.intersect_general_volume(
+        scene.gvol_tri[0], scene.gvol_density[0], o, d, 1e-3, 100.0, u,
+        eps=MT_EPS,
+    )
+    assert not bool(valid_bad.any())
+
+
+def test_zero_density_volume_passes_through():
+    """density = 0: the reference computes -ln(u)/0.0 = +inf (free
+    flight never scatters, geometry.rs:517) and renders the volume as
+    fully transparent; compile must not crash (the kvol SMEM table used
+    to divide by zero on the host) and both volume paths must agree."""
+    scene = Scene(
+        camera=Camera(screen_width=4, screen_height=4, aa_sample_count=1),
+        objects=[
+            ConvexVolume(
+                boundary=Sphere(center=(0, 0, 0), radius=1.0,
+                                material=Lambertian()),
+                phase_function=Isotropic(albedo=(0.9,) * 3),
+                density=0.0,
+            ),
+            Plane(point=(0, 0, -5), normal=(0, 0, 1),
+                  material=Lambertian(albedo=(0.5,) * 3,
+                                      emission=(2.0,) * 3)),
+        ],
+    )
+    data = scene.compile()  # must not ZeroDivisionError
+    assert float(np.asarray(data.kvol_f).reshape(-1, 5)[0, 4]) == -np.inf
+
+    n = 8
+    o = jnp.tile(jnp.asarray([0.0, 0.0, 3.0])[None, :], (n, 1))
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0])[None, :], (n, 1))
+    u = jnp.full((n, 1), 1.0 - 1e-7)  # would scatter immediately if rho>0
+    t, idx, valid = isect.intersect_volumes(data, o, d, 1e-3, 100.0, u)
+    assert not bool(valid.any()), "zero-density medium never scatters"
