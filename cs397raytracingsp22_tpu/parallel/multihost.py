@@ -118,13 +118,14 @@ def gather_to_host(x):
 
 
 def broadcast_checkpoint(checkpoint_path: str, n_px: int, seed: int):
-    """Process-0's checkpoint → (accum f32 (n_px,3) | None, spp_done) on
-    EVERY process. Only process 0 writes checkpoints (render.driver), so
-    on hosts without a shared filesystem the other processes must not
-    read their own (absent or stale) copy: a disagreeing spp_done gives
-    each process a different number of global-mesh dispatches and the
-    collectives deadlock. One broadcast_one_to_all makes process 0's
-    view authoritative."""
+    """Process-0's checkpoint → (accum f32 (n_px,3) | None, spp_done,
+    nee_flag) on EVERY process; nee_flag is -1 for checkpoints written
+    before the flag existed. Only process 0 writes checkpoints
+    (render.driver), so on hosts without a shared filesystem the other
+    processes must not read their own (absent or stale) copy: a
+    disagreeing spp_done gives each process a different number of
+    global-mesh dispatches and the collectives deadlock. One
+    broadcast_one_to_all makes process 0's view authoritative."""
     import os
 
     import jax
@@ -133,18 +134,21 @@ def broadcast_checkpoint(checkpoint_path: str, n_px: int, seed: int):
     have = np.int32(0)
     accum = np.zeros((n_px, 3), np.float32)
     sd = np.int32(0)
+    nee = np.int32(-1)
     if jax.process_index() == 0 and os.path.exists(checkpoint_path):
         ckpt = np.load(checkpoint_path, allow_pickle=False)
         if ckpt["accum"].shape == (n_px, 3) and int(ckpt["seed"]) == seed:
             have = np.int32(1)
             accum = ckpt["accum"].astype(np.float32)
             sd = np.int32(ckpt["spp_done"])
-    have, sd, accum = multihost_utils.broadcast_one_to_all(
-        (have, sd, accum)
+            if "nee" in ckpt.files:
+                nee = np.int32(ckpt["nee"])
+    have, sd, nee, accum = multihost_utils.broadcast_one_to_all(
+        (have, sd, nee, accum)
     )
     if not int(have):
-        return None, 0
-    return np.asarray(accum), int(sd)
+        return None, 0, -1
+    return np.asarray(accum), int(sd), int(nee)
 
 
 def render_to_image_multihost(scene, n_sp: int = 1, seed: int = 0, **kw):

@@ -35,8 +35,13 @@ from cs397raytracingsp22_tpu.render.driver import render_chunk_core
 
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
+    _NO_CHECK = {"check_vma": False}
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+
+    # the experimental API spells the replication-check opt-out
+    # differently — check_vma here would TypeError on first use
+    _NO_CHECK = {"check_rep": False}
 
 
 def make_device_mesh(
@@ -46,9 +51,15 @@ def make_device_mesh(
 ) -> Mesh:
     """Build a ("dp", "sp") mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
+    if n_sp <= 0:
+        raise ValueError(f"n_sp must be positive, got {n_sp}")
     if n_dp is None:
         n_dp = len(devices) // n_sp
-    assert n_dp * n_sp <= len(devices), "mesh larger than device count"
+    if n_dp <= 0 or n_dp * n_sp > len(devices):
+        raise ValueError(
+            f"mesh {n_dp}x{n_sp} needs {n_dp * n_sp} devices, have "
+            f"{len(devices)} (is n_sp larger than the device count?)"
+        )
     arr = np.asarray(devices[: n_dp * n_sp]).reshape(n_dp, n_sp)
     return Mesh(arr, ("dp", "sp"))
 
@@ -63,7 +74,11 @@ def make_sharded_render_chunk(
     the mesh's dp size; spp by its sp size.
     """
     n_sp = mesh.shape["sp"]
-    assert spp % n_sp == 0, f"spp {spp} not divisible by sp axis {n_sp}"
+    if spp % n_sp:
+        # user input — must raise even under python -O (an assert would
+        # vanish and silently floor-drop samples while the finalize
+        # still divides by the full spp: a dimmed image)
+        raise ValueError(f"spp {spp} not divisible by sp axis {n_sp}")
     spp_local = spp // n_sp
 
     def local(scene: SceneData, pixel_ids, base_key, sample_offset):
@@ -82,7 +97,7 @@ def make_sharded_render_chunk(
         mesh=mesh,
         in_specs=(P(), P("dp"), P(), P()),
         out_specs=(P("dp"), P()),
-        check_vma=False,
+        **_NO_CHECK,
     )
     return jax.jit(sharded)
 

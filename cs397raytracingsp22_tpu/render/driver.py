@@ -192,8 +192,6 @@ def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
     the driver picks it when the mega-bounce kernel can't run the scene
     (scene_is_simple false), where full-width dead-ray dispatches
     dominate the staged pipeline's cost."""
-    from cs397raytracingsp22_tpu.render import integrator
-
     n_px = pixel_ids.shape[0]
     o, d, uids = _raygen_jit(
         camera, pixel_ids, rng_key, sample_offset, spp, n_chains
@@ -370,9 +368,12 @@ def render_to_image(
         pixel_chunk = max(n_dp, pixel_chunk - pixel_chunk % n_dp)
         if spp_chunk % n_sp:
             spp_chunk = min(spp, spp_chunk + (n_sp - spp_chunk % n_sp))
-        assert spp % n_sp == 0, (
-            f"spp {spp} not divisible by the mesh's sp axis {n_sp}"
-        )
+        if spp % n_sp:
+            # ValueError, not assert: user input, and python -O strips
+            # asserts (samples would silently floor-drop)
+            raise ValueError(
+                f"spp {spp} not divisible by the mesh's sp axis {n_sp}"
+            )
         if multiproc:
             # multi-host: jit over a global mesh requires global arrays —
             # replicate the (identical-everywhere) scene + key once, and
@@ -466,6 +467,7 @@ def render_to_image(
 
     spp_done = 0
     resume_accum = None
+    ckpt_nee = -1  # -1 = unknown (pre-flag checkpoint)
     if checkpoint_path and multiproc:
         # only process 0 writes checkpoints (below); a host-local read
         # on the other processes would disagree on spp_done (no shared
@@ -473,7 +475,7 @@ def render_to_image(
         # collectives — process 0's view is broadcast instead
         from cs397raytracingsp22_tpu.parallel import multihost as _mh0
 
-        resume_accum, spp_done = _mh0.broadcast_checkpoint(
+        resume_accum, spp_done, ckpt_nee = _mh0.broadcast_checkpoint(
             checkpoint_path, n_px_total, seed
         )
         if resume_accum is not None:
@@ -494,6 +496,8 @@ def render_to_image(
         if ckpt["accum"].shape == (n_px_total, 3) and int(ckpt["seed"]) == seed:
             resume_accum = ckpt["accum"].astype(np.float32)
             spp_done = int(ckpt["spp_done"])
+            if "nee" in ckpt.files:
+                ckpt_nee = int(ckpt["nee"])
             if mesh is not None and spp_done % int(mesh.shape["sp"]):
                 # every sharded dispatch splits its spp over the sp axis,
                 # so the remaining spp - spp_done must be coverable by
@@ -507,6 +511,24 @@ def render_to_image(
                 )
             if verbose:
                 print(f"[render] resuming from {checkpoint_path} at {spp_done} spp")
+
+    if resume_accum is not None:
+        # an accumulator holding MORE samples than the target cannot be
+        # finalized (the divide-by-spp would over-brighten 2x silently),
+        # and mixing estimators blends two different integrals
+        if spp_done > spp:
+            raise ValueError(
+                f"checkpoint holds {spp_done} spp but this render asks "
+                f"for {spp} — raise --spp (a resume can only extend a "
+                "render) or delete the checkpoint"
+            )
+        if ckpt_nee >= 0 and bool(ckpt_nee) != bool(cam.nee):
+            raise ValueError(
+                f"checkpoint was rendered with nee={bool(ckpt_nee)} but "
+                f"this render has nee={bool(cam.nee)} — the accumulator "
+                "would blend two different estimators; match --nee or "
+                "delete the checkpoint"
+            )
 
     stats = RenderStats(
         width=w,
@@ -570,6 +592,13 @@ def render_to_image(
                 wait.append(seg_total)
             jax.block_until_ready(wait)
         except jax.errors.JaxRuntimeError:
+            if multiproc:
+                # the replay below re-runs global-mesh collectives; if
+                # only SOME processes saw the error, replaying here
+                # desynchronizes the global dispatch schedule and hangs.
+                # Multi-host recovery is restart-from-checkpoint (chunks
+                # are stateless; the checkpoint is authoritative).
+                raise
             pieces = list(good_pieces)
             seg_total = seg_good
             for ci, args in pending:
@@ -661,6 +690,9 @@ def render_to_image(
                     accum=host,
                     spp_done=np.int64(s0 + s_count),
                     seed=np.int64(seed),
+                    # estimator identity: resuming with a different --nee
+                    # would blend two estimators into one accumulator
+                    nee=np.int64(int(bool(cam.nee))),
                 )
             # don't charge the checkpoint pull+write (host I/O between
             # spp chunks) to the next chunk's steady-state window

@@ -113,7 +113,9 @@ def obj_load(path: str):
 
 
 def bvh_build(tri_verts: np.ndarray, leaf_size: int = 4):
-    """Native threaded-BVH build → dict of numpy arrays, or None."""
+    """Native skip-link-threaded BVH build (tree threading, not
+    multithreading — single-threaded C++) → dict of numpy arrays, or
+    None."""
     lib = _load()
     if lib is None:
         return None

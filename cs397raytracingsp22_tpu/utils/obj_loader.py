@@ -107,6 +107,20 @@ def load_obj(path: str, use_native: bool = True) -> ObjMesh:
                     _parse_index(t, len(positions), len(texcoords), len(normals))
                     for t in parts[1:]
                 ]
+                # drop corners with a missing/out-of-range position index
+                # instead of letting v = -1 wrap to pos_arr[-1] (a phantom
+                # triangle at the file's last vertex); out-of-range vt/vn
+                # degrade to absent — same skips the native parser applies
+                # (rt_native.cpp parse_corner + bounds checks)
+                corners = [
+                    (
+                        v,
+                        vt if 0 <= vt < len(texcoords) else -1,
+                        vn if 0 <= vn < len(normals) else -1,
+                    )
+                    for (v, vt, vn) in corners
+                    if 0 <= v < len(positions)
+                ]
                 if len(corners) >= 3:
                     faces.append(corners)
 

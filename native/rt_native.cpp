@@ -102,11 +102,15 @@ int rt_obj_load(const char* path, RtObjMesh* out) {
   std::unordered_map<Key, int32_t, KeyHash> unified;
   std::vector<int32_t> face;              // per-face unified ids
 
-  char line[8192];
-  while (fgets(line, sizeof(line), f)) {
+  // getline (not a fixed fgets buffer): OBJ lines from scan exporters
+  // can exceed any fixed size, and a silently split line corrupts face
+  // parsing with no error.
+  char* line = nullptr;
+  size_t cap = 0;
+  while (getline(&line, &cap, f) != -1) {
     char* s = line;
     while (*s == ' ' || *s == '\t') ++s;
-    if (s[0] == 'v' && s[1] == ' ') {
+    if (s[0] == 'v' && (s[1] == ' ' || s[1] == '\t')) {
       float x = 0, y = 0, z = 0;
       sscanf(s + 2, "%f %f %f", &x, &y, &z);
       vs.push_back(x); vs.push_back(y); vs.push_back(z);
@@ -125,7 +129,11 @@ int rt_obj_load(const char* path, RtObjMesh* out) {
            tok = strtok_r(nullptr, " \t\r\n", &save)) {
         Key k = parse_corner(tok, (int64_t)vs.size() / 3,
                              (int64_t)vts.size() / 2, (int64_t)vns.size() / 3);
-        if (k.v < 0) continue;
+        // malformed/out-of-range indices (0, past-the-end, unresolvable
+        // negatives) skip the corner — never index the pools unchecked
+        if (k.v < 0 || (size_t)k.v * 3 + 2 >= vs.size()) continue;
+        if (k.vt >= 0 && (size_t)k.vt * 2 + 1 >= vts.size()) k.vt = -1;
+        if (k.vn >= 0 && (size_t)k.vn * 3 + 2 >= vns.size()) k.vn = -1;
         auto it = unified.find(k);
         int32_t uid;
         if (it != unified.end()) {
@@ -160,6 +168,7 @@ int rt_obj_load(const char* path, RtObjMesh* out) {
       }
     }
   }
+  free(line);
   fclose(f);
 
   out->n_vertices = (int64_t)(pos.size() / 3);
@@ -180,7 +189,10 @@ int rt_obj_load(const char* path, RtObjMesh* out) {
 }
 
 // ---------------------------------------------------------------------------
-// Threaded flat BVH build (same layout as ops/bvh.py::build_bvh).
+// Skip-link-threaded flat BVH build (same layout as ops/bvh.py::build_bvh).
+// "Threaded" in the tree sense — every node carries the index of the
+// next node to visit on an AABB miss — NOT multithreading; the build
+// itself is single-threaded (scene loads are host-startup, not hot).
 // ---------------------------------------------------------------------------
 
 namespace {

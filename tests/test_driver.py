@@ -35,6 +35,31 @@ def test_checkpoint_resume(tmp_path):
     assert stats.primary_rays == 0  # everything came from the checkpoint
 
 
+def test_checkpoint_resume_rejects_mismatched_run(tmp_path):
+    """Resuming with fewer target spp than the checkpoint holds (the
+    accumulator cannot be un-summed; finalize would divide 4 samples by
+    2 → a 2x over-bright image) or with a flipped --nee (two estimators
+    blended into one accumulator) must raise, not silently corrupt."""
+    import dataclasses
+
+    scene4 = cornell.build_config3(width=8, height=8, spp=4, path_depth=2)
+    ckpt = str(tmp_path / "accum.npz")
+    render_to_image(scene4, seed=5, spp_chunk=2, checkpoint_path=ckpt,
+                    verbose=False)
+
+    scene2 = cornell.build_config3(width=8, height=8, spp=2, path_depth=2)
+    with pytest.raises(ValueError, match="holds 4 spp"):
+        render_to_image(scene2, seed=5, checkpoint_path=ckpt, verbose=False)
+
+    scene_nee = dataclasses.replace(
+        scene4, camera=dataclasses.replace(scene4.camera, nee=True,
+                                           aa_sample_count=8)
+    )
+    with pytest.raises(ValueError, match="nee"):
+        render_to_image(scene_nee, seed=5, checkpoint_path=ckpt,
+                        verbose=False)
+
+
 def test_partial_checkpoint_resume(tmp_path):
     """Simulate a kill mid-render: build a checkpoint at 2/4 spp by
     rendering a half-spp scene, then resume to the full result."""

@@ -73,3 +73,35 @@ def test_native_bvh_valid_and_equivalent():
     np.testing.assert_array_equal(
         nat.tri_order[np.asarray(in_)[m]], py.tri_order[np.asarray(ip)[m]]
     )
+
+
+def test_malformed_obj_agrees_and_never_crashes(tmp_path):
+    """Hostile/unusual OBJ input: tab-delimited 'v\\t' lines (valid OBJ;
+    used to leave the native vertex pool empty and SEGFAULT on the
+    unchecked face-index read), corners with a missing position index
+    (used to wrap to pos_arr[-1] in the Python loader — a phantom
+    triangle), out-of-range and zero indices, and an 18 KB face line
+    (used to split mid-token under the fixed 8 KB fgets buffer). Both
+    loaders must survive and agree exactly."""
+    n_big = 2000  # 2000 corners ≈ 18 KB line, past the old 8 KB buffer
+    lines = ["v\t0 0 0", "v\t1 0 0", "v\t0 1 0", "v\t9 9 9", "vt 0.5 0.5"]
+    lines += [f"v {i} {i} 1" for i in range(n_big)]
+    big_face = "f " + " ".join(str(5 + i) for i in range(n_big))
+    lines += [
+        "f 1 2 3",        # fine
+        "f 1 2 /1/1",     # missing v index → corner dropped, face degenerate
+        "f 1 2 99999",    # out-of-range → corner dropped
+        "f 0 1 2",        # 0 is invalid (1-based) → maps past-the-end, dropped
+        "f -1 -2 -3",     # negative relative indices → valid
+        big_face,          # long-line robustness
+    ]
+    path = tmp_path / "hostile.obj"
+    path.write_text("\n".join(lines) + "\n")
+
+    py = obj_loader.load_obj(str(path), use_native=False)
+    nat = obj_loader.load_obj(str(path), use_native=True)
+    assert py.num_triangles == nat.num_triangles
+    np.testing.assert_allclose(nat.positions, py.positions, rtol=1e-6)
+    np.testing.assert_array_equal(nat.indices, py.indices)
+    # 1 (f 1 2 3) + 1 (f -1 -2 -3) + (n_big - 2) fan triangles
+    assert py.num_triangles == 2 + (n_big - 2)
