@@ -223,6 +223,10 @@ def scene_is_simple(scene) -> bool:
         return False
     if scene.n_gvols:
         return False
+    # the kernel's material resolve is a per-lane gather over one
+    # 128-lane table row (build_bounce_tables)
+    if int(scene.mat_type.shape[0]) > LANES:
+        return False
     for m in scene.meshes:
         if m.mat_id < 0 or m.tex_ids[4] >= 0:
             return False
@@ -232,7 +236,7 @@ def scene_is_simple(scene) -> bool:
 
 def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                   tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
-                  mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
+                  mat_g, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
                   primary=False, exact_recip=False, last=False):
     """Build the single-bounce update used by both the full-loop kernel
     and the per-bounce wavefront step kernel. `site_u32` is the RNG draw
@@ -812,37 +816,35 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         hit_valid = code >= 0
 
         # ---------------- material resolve ----------------
-        emi_r = fzero
-        emi_g = fzero
-        emi_b = fzero
+        # Per-lane gather over the 128-lane-padded material table rows
+        # (build_bounce_tables): one take_along_axis per column replaces
+        # the n_mat × 10 where-loop — 104 vs 367 jaxpr eqs at n_mat=7
+        # (the hidden cost of the loop is a scalar broadcast per select).
+        # Bit-identical: every lane's mat id ∈ [0, n_mat) picks exactly
+        # the row the select chain assigned (misses keep mat = 0, whose
+        # values are masked out by live_hit below, same as before).
+        def mat_col(c):
+            return jnp.take_along_axis(
+                jnp.broadcast_to(mat_g[c][None, :], shape), mat, axis=1
+            )
+
         if last:
             # final bounce: its scatter is never traced, so only the
             # emission columns matter
-            for m in range(n_mat):
-                msk = mat == m
-                emi_r = jnp.where(msk, mat_tab[m, 4], emi_r)
-                emi_g = jnp.where(msk, mat_tab[m, 5], emi_g)
-                emi_b = jnp.where(msk, mat_tab[m, 6], emi_b)
+            emi_r = mat_col(4)
+            emi_g = mat_col(5)
+            emi_b = mat_col(6)
         else:
-            mtype = izero
-            alb_r = fzero
-            alb_g = fzero
-            alb_b = fzero
-            rough = fzero
-            metal = fzero
-            ior = jnp.full(shape, 1.5, jnp.float32)
-            for m in range(n_mat):
-                msk = mat == m
-                mtype = jnp.where(msk, mat_tab[m, 0].astype(jnp.int32), mtype)
-                alb_r = jnp.where(msk, mat_tab[m, 1], alb_r)
-                alb_g = jnp.where(msk, mat_tab[m, 2], alb_g)
-                alb_b = jnp.where(msk, mat_tab[m, 3], alb_b)
-                emi_r = jnp.where(msk, mat_tab[m, 4], emi_r)
-                emi_g = jnp.where(msk, mat_tab[m, 5], emi_g)
-                emi_b = jnp.where(msk, mat_tab[m, 6], emi_b)
-                rough = jnp.where(msk, mat_tab[m, 7], rough)
-                metal = jnp.where(msk, mat_tab[m, 8], metal)
-                ior = jnp.where(msk, mat_tab[m, 9], ior)
+            mtype = mat_col(0).astype(jnp.int32)
+            alb_r = mat_col(1)
+            alb_g = mat_col(2)
+            alb_b = mat_col(3)
+            emi_r = mat_col(4)
+            emi_g = mat_col(5)
+            emi_b = mat_col(6)
+            rough = mat_col(7)
+            metal = mat_col(8)
+            ior = mat_col(9)
 
         # ---------------- shading update ----------------
         live_hit = alive & hit_valid
@@ -1008,7 +1010,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist, exact_recip=False):
 
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
-        mesh_xf, mesh_bw, mesh_meta, mat_tab, sl_bounds,
+        mesh_xf, mesh_bw, mesh_meta, mat_g, sl_bounds,
         bw_v, nrm_v,
         ox, oy, oz, dx, dy, dz, uid,
         rad_r, rad_g, rad_b, seg_out,
@@ -1040,7 +1042,7 @@ def _make_kernel(counts, *, path_depth, t_min, max_dist, exact_recip=False):
         common = (
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
-            mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
+            mat_g, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
         )
         # Unrolled: path_depth is static, and Mosaic cannot legalize an
         # scf.for with this carry structure (bool + 14 vectors). Unrolling
@@ -1118,6 +1120,13 @@ def build_bounce_tables(scene):
         ],
         axis=1,
     )
+    # 128-lane gather layout: row c holds column c of the material table
+    # so the kernel's resolve is one take_along_axis per column
+    # (scene_is_simple gates n_mat ≤ 128)
+    n_mat_rows = mat_tab.shape[0]
+    mat_g = jnp.zeros((10, LANES), jnp.float32).at[:, :n_mat_rows].set(
+        mat_tab.T
+    )
     # v4 post-scan gather tables: column-major 128-lane pieces so the
     # winner fetch is a per-lane take_along_axis over one table row.
     # bw_gather[c*P + p, l] = kmesh_bw[p*128 + l, c]; same for normals.
@@ -1142,7 +1151,8 @@ def build_bounce_tables(scene):
     sl_smem = scene.ksl_bounds.reshape(-1)
     return dict(
         mesh_xf=mesh_xf, mesh_nrm=mesh_nrm, mesh_meta=mesh_meta,
-        mat_tab=mat_tab, bw_gather=bw_gather, nrm_gather=nrm_gather,
+        mat_tab=mat_tab, mat_g=mat_g, bw_gather=bw_gather,
+        nrm_gather=nrm_gather,
         bw_smem=bw_smem, sl_smem=sl_smem,
     )
 
@@ -1216,7 +1226,8 @@ def path_trace_pallas(
     rr, rg, rb, segs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[smem] * 14 + [vmem_full] * 2 + [ray_spec] * 7,
+        in_specs=[smem] * 12 + [vmem_full] + [smem] + [vmem_full] * 2
+        + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
         out_shape=[fshape] * 4,
         interpret=interpret,
@@ -1225,7 +1236,7 @@ def path_trace_pallas(
         scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
         scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
         tables["mesh_xf"], tables["bw_smem"],
-        tables["mesh_meta"], tables["mat_tab"], tables["sl_smem"],
+        tables["mesh_meta"], tables["mat_g"], tables["sl_smem"],
         tables["bw_gather"], tables["nrm_gather"],
         *planes,
     )
@@ -1250,7 +1261,7 @@ def _make_step_kernel(counts, *, t_min, max_dist, exact_recip=False,
 
     def kernel(
         key_ref, sph_f, sph_m, pln_f, pln_m, tri_f, tri_m, vol_f, vol_m,
-        mesh_xf, mesh_bw, mesh_meta, mat_tab, sl_bounds,
+        mesh_xf, mesh_bw, mesh_meta, mat_g, sl_bounds,
         bw_v, nrm_v,
         ox, oy, oz, dx, dy, dz, uid, tr, tg, tb, rr, rg, rb, alive_i,
         o_ox, o_oy, o_oz, o_dx, o_dy, o_dz,
@@ -1267,7 +1278,7 @@ def _make_step_kernel(counts, *, t_min, max_dist, exact_recip=False,
         bounce = _build_bounce(
             counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             tri_m, vol_f, vol_m, mesh_xf, mesh_bw, mesh_meta,
-            mat_tab, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
+            mat_g, sl_bounds, bw_v, nrm_v, k0, k1, uid_u, shape,
             primary=True, exact_recip=exact_recip, last=last,
         )
 
@@ -1424,7 +1435,9 @@ def path_trace_wavefront(
         outs = pl.pallas_call(
             kernel_last if b == path_depth - 1 else kernel,
             grid=(grid,),
-            in_specs=[smem] * 14 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            in_specs=[smem] * 12
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] + [smem]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
             + [ray_spec] * 14,
             out_specs=[ray_spec] * 13,
             out_shape=[fshape] * 12 + [ishape],
@@ -1434,7 +1447,7 @@ def path_trace_wavefront(
             scene.ksph_f, scene.ksph_m, scene.kpln_f, scene.kpln_m,
             scene.ktri_f, scene.ktri_m, scene.kvol_f, scene.kvol_m,
             tables["mesh_xf"], tables["bw_smem"],
-            tables["mesh_meta"], tables["mat_tab"], tables["sl_smem"],
+            tables["mesh_meta"], tables["mat_g"], tables["sl_smem"],
             tables["bw_gather"], tables["nrm_gather"],
             plane(ox), plane(oy), plane(oz), plane(dx), plane(dy), plane(dz),
             plane(uid), plane(tr), plane(tg), plane(tb),

@@ -76,7 +76,7 @@ def main():
         tri_f=jnp.asarray(scene.ktri_f), tri_m=jnp.asarray(scene.ktri_m),
         vol_f=jnp.asarray(scene.kvol_f), vol_m=jnp.asarray(scene.kvol_m),
         mesh_xf=tables["mesh_xf"], mesh_bw=tables["bw_smem"],
-        mesh_meta=tables["mesh_meta"], mat_tab=tables["mat_tab"],
+        mesh_meta=tables["mesh_meta"], mat_g=tables["mat_g"],
         sl_bounds=tables["sl_smem"], bw_v=tables["bw_gather"],
         nrm_v=tables["nrm_gather"],
         k0=jnp.uint32(1), k1=jnp.uint32(2),
