@@ -54,8 +54,11 @@ def scatter(
       u_choice: (N,) uniforms for the stochastic branch choices.
 
     Returns:
-      (new_dir, attenuation, pdf): (N,3), (N,3), (N,).
-      New-ray origins are always hit.point (materials.rs:37,61,93 etc.).
+      (new_dir, attenuation, inv_pdf): (N,3), (N,3), (N,).
+      inv_pdf is the RECIPROCAL pdf (2π for half-ball lobes, 1 for
+      deterministic lobes) so the integrator applies it as a multiply —
+      see sampling.hemisphere_inv_pdf. New-ray origins are always
+      hit.point (materials.rs:37,61,93 etc.).
     """
     n = hit.normal
     albedo = hit.albedo
@@ -64,13 +67,15 @@ def scatter(
     hemi = sampling.hemisphere_vec(ball, n)
     lam_dir = hemi
     lam_att = albedo / PI
-    lam_pdf = jnp.full(u_choice.shape, sampling.hemisphere_pdf(), jnp.float32)
+    lam_ipdf = jnp.full(
+        u_choice.shape, sampling.hemisphere_inv_pdf(), jnp.float32
+    )
 
     # --- Metal (materials.rs:56-71) ---
     refl = vm.reflect(d_in, n)
     met_dir = refl + hit.roughness[:, None] * ball
     met_att = albedo
-    met_pdf = jnp.ones_like(lam_pdf)
+    met_ipdf = jnp.ones_like(lam_ipdf)
 
     # --- Dielectric (materials.rs:77-104) ---
     ior = hit.ior
@@ -82,7 +87,7 @@ def scatter(
     refr = vm.refract(d_in, n, eta)
     die_dir = jnp.where(will_refract[:, None], refr, refl)
     die_att = jnp.ones_like(albedo)
-    die_pdf = jnp.ones_like(lam_pdf)
+    die_ipdf = jnp.ones_like(lam_ipdf)
 
     # --- ParameterizedMaterial (materials.rs:113-149) ---
     fres15 = vm.fresnel(d_in, n, 1.5)
@@ -95,12 +100,12 @@ def scatter(
         albedo / PI,
         vm.lerpvec(jnp.ones_like(albedo), albedo, hit.metallic[:, None]),
     )
-    par_pdf = jnp.where(diffuse, sampling.hemisphere_pdf(), 1.0)
+    par_ipdf = jnp.where(diffuse, sampling.hemisphere_inv_pdf(), 1.0)
 
     # --- Isotropic (materials.rs:158-166) ---
     iso_dir = ball
     iso_att = albedo
-    iso_pdf = jnp.ones_like(lam_pdf)
+    iso_ipdf = jnp.ones_like(lam_ipdf)
 
     mtype = hit.mtype
 
@@ -116,5 +121,5 @@ def scatter(
 
     new_dir = pick(lam_dir, met_dir, die_dir, par_dir, iso_dir)
     att = pick(lam_att, met_att, die_att, par_att, iso_att)
-    pdf = pick(lam_pdf, met_pdf, die_pdf, par_pdf, iso_pdf)
-    return new_dir, att, pdf
+    inv_pdf = pick(lam_ipdf, met_ipdf, die_ipdf, par_ipdf, iso_ipdf)
+    return new_dir, att, inv_pdf

@@ -195,23 +195,42 @@ def _threefry2x32(k0, k1, c0, c1):
 
 
 def _uniforms(k0, k1, uid_u32, site_u32, m, first=0):
-    """Uniform tiles [first, first+m) for draw site — same counters as
-    threefry.counter_uniforms (draw index i lives in counter block
-    i // 2), so a caller that needs only a tail of the site's draws
-    (e.g. the last bounce's volume free-flight samples) skips the
-    leading Threefry blocks while producing bit-identical values."""
+    """Uniform tiles [first, first+m) for a bounce draw site — the exact
+    layout of threefry.bounce_uniforms: draws 0-3 (ball xyz + branch
+    choice) are the four 16-bit halves of ONE Threefry block (counter
+    block 0 — one call instead of two per bounce, ~130 VPU ops/ray
+    saved), draws j ≥ 4 (volume free-flight, 24-bit) come 2 per block
+    from block 1 + (j-4)//2. A caller that needs only the tail (the
+    last bounce's volume draws, first=4) skips block 0 while producing
+    bit-identical values."""
     out = []
     base = site_u32 << jnp.uint32(16)
+    end = first + m
+    if first < 4:
+        x0, x1 = _threefry2x32(k0, k1, uid_u32, base)
+        s16 = jnp.float32(2.0**-16)
+        for w in (x0, x1):
+            # halves fit in 16 bits → exact via int32 (Mosaic has no
+            # direct uint32→float32 cast)
+            out.append(
+                (w >> jnp.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+                * s16
+            )
+            out.append(
+                (w & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+                * s16
+            )
+        start = 0
+    else:
+        start = 4 + 2 * ((first - 4) // 2)
     scale = jnp.float32(2.0**-24)
-    b0 = first // 2
-    for blk in range(b0, (first + m + 1) // 2):
+    b0 = 1 + (start - 4) // 2 if start >= 4 else 1
+    for blk in range(b0, 1 + max(0, (end - 4 + 1) // 2)):
         x0, x1 = _threefry2x32(k0, k1, uid_u32, base + jnp.uint32(blk))
-        # uint32 >> 8 fits in 24 bits → exact via int32 (Mosaic has no
-        # direct uint32→float32 cast)
+        # top 24 bits → exact via int32
         out.append((x0 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * scale)
         out.append((x1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * scale)
-    lo = first - 2 * b0
-    return out[lo : lo + m]
+    return out[first - start : first - start + m]
 
 
 def scene_is_simple(scene) -> bool:
@@ -270,6 +289,10 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         # ---------------- intersection ----------------
         d2 = sdx * sdx + sdy * sdy + sdz * sdz
         big = jnp.float32(max_dist)
+        # hoisted: the quadratic's 1/(2a) depends only on the ray — one
+        # divide per bounce instead of one per sphere AND per volume
+        if n_sph or n_vol:
+            inv2a = 1.0 / (2.0 * d2)
 
         best_t = jnp.full(shape, big, jnp.float32)
         code = jnp.full(shape, -1, jnp.int32)
@@ -308,7 +331,6 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             disc = b * b - 4.0 * d2 * c2
             ok0 = disc >= 0.0
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            inv2a = 1.0 / (2.0 * d2)
             t1 = (-b - sq) * inv2a
             t2 = (-b + sq) * inv2a
             t = jnp.where(t1 >= t_min, t1, t2)
@@ -414,7 +436,6 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             disc = b * b - 4.0 * d2 * c2
             ok0 = disc >= 0.0
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            inv2a = 1.0 / (2.0 * d2)
             t_entr = (-b - sq) * inv2a
             t_exit = (-b + sq) * inv2a
             exit_ok = ok0 & (t_exit >= t_entr + 1e-4)
@@ -896,7 +917,10 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         # dielectric (compiled out when the scene has no Dielectric)
         if has_die:
             ffb = ff > 0
-            eta = jnp.where(ffb, 1.0 / ior, ior)
+            # 1/ior ships as material-table column 10 (the reciprocal of
+            # the same float32 — bit-identical to dividing here, minus
+            # the per-ray multi-cycle divide)
+            eta = jnp.where(ffb, mat_col(10), ior)
             cos_in = jnp.minimum(-(ddn), 1.0)
             critical = (
                 eta * jnp.sqrt(jnp.maximum(1.0 - cos_in * cos_in, 0.0)) > 1.0
@@ -931,7 +955,7 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             par_ar = jnp.where(diffuse, alb_r / PI, 1.0 + (alb_r - 1.0) * metal)
             par_ag = jnp.where(diffuse, alb_g / PI, 1.0 + (alb_g - 1.0) * metal)
             par_ab = jnp.where(diffuse, alb_b / PI, 1.0 + (alb_b - 1.0) * metal)
-            par_pdf = jnp.where(diffuse, jnp.float32(1.0 / TWO_PI), 1.0)
+            par_ipdf = jnp.where(diffuse, jnp.float32(TWO_PI), 1.0)
 
         # switch (absent classes contribute no selects)
         is_lam = mtype == matlib.LAMBERTIAN
@@ -971,16 +995,19 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             atg = jnp.where(is_par, par_ag, atg)
             atb = jnp.where(is_par, par_ab, atb)
 
-        pdf = jnp.where(is_lam, jnp.float32(1.0 / TWO_PI), 1.0)
+        # reciprocal pdf (2π for half-ball lobes): applied as a multiply
+        # — the divide was a multi-cycle VPU op per ray per bounce
+        # (sampling.hemisphere_inv_pdf; jnp twin in ops/bsdf.py)
+        ipdf = jnp.where(is_lam, jnp.float32(TWO_PI), 1.0)
         if has_par:
-            pdf = jnp.where(is_par, par_pdf, pdf)
+            ipdf = jnp.where(is_par, par_ipdf, ipdf)
 
         # dot term (tracing.rs:313): |new_dir . n| clamped; 1 when
         # the normal is zero (volume scatter)
         n2 = nx * nx + ny * ny + nz * nz
         dot_nd = jnp.abs(ndx * nx + ndy * ny + ndz * nz)
         dot_term = jnp.where(n2 > 0.0, jnp.clip(dot_nd, 0.0, 1.0), 1.0)
-        fac = dot_term / pdf
+        fac = dot_term * ipdf
 
         tr = jnp.where(live_hit, tr * fac * atr, tr)
         tg = jnp.where(live_hit, tg * fac * atg, tg)
@@ -1122,11 +1149,14 @@ def build_bounce_tables(scene):
     )
     # 128-lane gather layout: row c holds column c of the material table
     # so the kernel's resolve is one take_along_axis per column
-    # (scene_is_simple gates n_mat ≤ 128)
+    # (scene_is_simple gates n_mat ≤ 128). Row 10 is 1/ior — the
+    # dielectric eta without a per-ray divide (reciprocal of the same
+    # float32 the kernel would divide by → bit-identical eta).
     n_mat_rows = mat_tab.shape[0]
-    mat_g = jnp.zeros((10, LANES), jnp.float32).at[:, :n_mat_rows].set(
+    mat_g = jnp.zeros((11, LANES), jnp.float32).at[:10, :n_mat_rows].set(
         mat_tab.T
     )
+    mat_g = mat_g.at[10, :n_mat_rows].set(1.0 / mat_tab[:, 9])
     # v4 post-scan gather tables: column-major 128-lane pieces so the
     # winner fetch is a per-lane take_along_axis over one table row.
     # bw_gather[c*P + p, l] = kmesh_bw[p*128 + l, c]; same for normals.

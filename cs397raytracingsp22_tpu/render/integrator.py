@@ -52,7 +52,7 @@ def _bounce_draws(scene: SceneData, rng_key, uids: jnp.ndarray, site):
     after (the counter RNG makes each slot independent, so adding gvol
     draws never shifts the sphere-vol draws)."""
     n_vol = scene.vol_center.shape[0]
-    u = threefry.counter_uniforms(
+    u = threefry.bounce_uniforms(
         rng_key, uids, site, 4 + n_vol + scene.n_gvols
     )
     ball = sampling.ball_vec_from_uniform(u[:, 0:3])
@@ -158,7 +158,7 @@ def _bounce_update(scene, o, d, thr, rad, alive, uids, rng_key, site,
     rad = rad + jnp.where(live_miss[:, None], thr * background_color(d), 0.0)
 
     # Hit: emission + scatter (tracing.rs:307-322).
-    new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
+    new_dir, att, inv_pdf = bsdf.scatter(hit, d, ball, u_choice)
     # dot_term: |new_dir · n| clamped to [0,1]; forced to 1 for
     # zero-normal volume hits (tracing.rs:313).
     has_normal = vm.magnitude2(hit.normal) > 0.0
@@ -167,7 +167,7 @@ def _bounce_update(scene, o, d, thr, rad, alive, uids, rng_key, site,
         jnp.clip(jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0),
         1.0,
     )
-    factor = (dot_term / pdf)[:, None] * att
+    factor = (dot_term * inv_pdf)[:, None] * att
 
     rad = rad + jnp.where(live_hit[:, None], thr * hit.emission, 0.0)
     thr = jnp.where(live_hit[:, None], thr * factor, thr)
@@ -280,14 +280,14 @@ def _nee_bounce_update(
     emit_ok = live_hit & ~prev_nee
     rad = rad + jnp.where(emit_ok[:, None], thr * hit.emission, 0.0)
 
-    new_dir, att, pdf = bsdf.scatter(hit, d, ball, u_choice)
+    new_dir, att, inv_pdf = bsdf.scatter(hit, d, ball, u_choice)
     has_normal = vm.magnitude2(hit.normal) > 0.0
     dot_term = jnp.where(
         has_normal,
         jnp.clip(jnp.abs(jnp.sum(new_dir * hit.normal, axis=-1)), 0.0, 1.0),
         1.0,
     )
-    factor = (dot_term / pdf)[:, None] * att
+    factor = (dot_term * inv_pdf)[:, None] * att
 
     if do_nee:
         contrib, did, shadow_segs = neelib.direct_light(

@@ -96,6 +96,15 @@ def hemisphere_pdf() -> float:
     return 1.0 / TWO_PI
 
 
+def hemisphere_inv_pdf() -> float:
+    """Reciprocal pdf of hemisphere_vec, 2π: the integrators apply the
+    pdf as `dot_term · (1/pdf)` — one VPU multiply instead of the divide
+    (a multi-cycle op per ray per bounce). Within 1 ulp of the
+    reference's division by 1/(2π) (tracing.rs:313); statistical
+    parity is unchanged."""
+    return TWO_PI
+
+
 def alpha_sample(u: jnp.ndarray, normal: jnp.ndarray, alpha: float = 1.0):
     """Cosine-power-lobe sample about `normal` (materials.rs:181-193).
 

@@ -63,6 +63,41 @@ def key_words(seed) -> jnp.ndarray:
     )
 
 
+def bounce_uniforms(key, uids, site, m: int):
+    """Bounce-site draws: (N, m) uniforms where the 4 HEAD draws (ball
+    vector xyz + branch choice) are the 16-bit halves of ONE Threefry
+    block — [x0>>16, x0&0xFFFF, x1>>16, x1&0xFFFF] · 2^-16 — and tail
+    draws j ≥ 4 (volume free-flight) keep 24-bit precision, 2 per block,
+    from block 1 + (j-4)//2.
+
+    Why: the mega-bounce kernel evaluates Threefry per ray per bounce
+    in-register; one call instead of two is ~130 VPU ops/ray/bounce
+    (~1.4% of the north-star kernel). 16-bit resolution on the ball/
+    choice draws is far below render noise (the reference uses ambient
+    thread_rng floats; equality is statistical — SURVEY §3.5.8), while
+    free-flight distances keep 24 bits because -ln(U)/ρ amplifies the
+    low tail. The Pallas kernel (ops/pallas/bounce.py::_uniforms)
+    mirrors this layout bit-exactly.
+    """
+    if isinstance(key, int):
+        key = key_words(key)
+    k0 = key[0]
+    k1 = key[1]
+    u = jnp.asarray(uids).astype(jnp.uint32)
+    s = jnp.asarray(site).astype(jnp.uint32) << jnp.uint32(16)
+    cols = []
+    x0, x1 = threefry2x32(k0, k1, u, s)
+    s16 = jnp.float32(2.0**-16)
+    for w in (x0, x1):
+        cols.append((w >> jnp.uint32(16)).astype(jnp.float32) * s16)
+        cols.append((w & jnp.uint32(0xFFFF)).astype(jnp.float32) * s16)
+    for blk in range(1, 1 + (max(m - 4, 0) + 1) // 2):
+        x0, x1 = threefry2x32(k0, k1, u, s + jnp.uint32(blk))
+        cols.append(uniform_from_bits(x0))
+        cols.append(uniform_from_bits(x1))
+    return jnp.stack(cols[:m], axis=-1)
+
+
 def counter_uniforms(key, uids, site, m: int):
     """m uniforms per uid for a draw site: (N, m) float32 in [0, 1).
 

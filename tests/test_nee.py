@@ -192,8 +192,9 @@ def test_nee_parameterized_material_mean_parity():
 
     # 48 px × 8192 spp: the PLAIN side is the noisy one (spiky
     # small-light hits); measured seed scatter of the mean ratio at
-    # this size is ±2% (4-seed probe, 2026-08-18) vs the 25%+ shift a
-    # wrong diffuse weight (4/3 or 3/4 factor) would produce
+    # this size is ±5% with outliers to 11% (6-seed probe, 2026-08-19:
+    # plain σ≈6%, NEE σ≈0.6%) vs the 25%+ shift a wrong diffuse weight
+    # (4/3 or 3/4 factor) would produce
     spp = 8192
     scene = _small_light_scene(spp, radius=0.3)
     scene = dataclasses.replace(
@@ -227,7 +228,7 @@ def test_nee_parameterized_material_mean_parity():
     pm = plain.mean(axis=(0, 1))
     nm = neer.mean(axis=(0, 1))
     assert pm.mean() > 0.02, "scene must actually be lit"
-    np.testing.assert_allclose(nm, pm, rtol=0.1)
+    np.testing.assert_allclose(nm, pm, rtol=0.15)
     assert neer.var(axis=1).mean() < 0.1 * plain.var(axis=1).mean()
 
 
