@@ -48,16 +48,29 @@ class TextureAtlas:
 class TextureAtlasBuilder:
     def __init__(self):
         self._images: list[np.ndarray] = []
-        self._index: dict[int, int] = {}  # id(image array) → texture id
+        # content hash → texture id: the same texture file loaded twice
+        # (e.g. by two meshes) packs once; id()-keyed dedup would store
+        # duplicate pixel runs in the atlas.
+        self._index: dict[bytes, int] = {}
+        self._id_cache: dict[int, int] = {}  # id(array) → texture id
 
     def add(self, img: np.ndarray) -> int:
         """Register an (H, W, 3) uint8 image, returning its texture id."""
-        key = id(img)
-        if key in self._index:
-            return self._index[key]
-        tid = len(self._images)
-        self._images.append(img)
-        self._index[key] = tid
+        fast = id(img)
+        if fast in self._id_cache:
+            return self._id_cache[fast]
+        import hashlib
+
+        key = hashlib.sha1(
+            img.shape[0].to_bytes(4, "little")
+            + np.ascontiguousarray(img).tobytes()
+        ).digest()
+        tid = self._index.get(key)
+        if tid is None:
+            tid = len(self._images)
+            self._images.append(img)
+            self._index[key] = tid
+        self._id_cache[fast] = tid
         return tid
 
     def build(self) -> TextureAtlas:

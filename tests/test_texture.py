@@ -80,3 +80,22 @@ def test_atlas_dedup():
     img = gradient_image(4, 4)
     b = TextureAtlasBuilder()
     assert b.add(img) == b.add(img)
+
+
+def test_atlas_dedup_by_content():
+    # The same texture FILE loaded twice yields distinct arrays with
+    # equal pixels — must pack once (content hash, not id()).
+    img = gradient_image(4, 4)
+    b = TextureAtlasBuilder()
+    t0 = b.add(img)
+    t1 = b.add(img.copy())
+    assert t0 == t1
+    atlas = b.build()
+    assert atlas.pixels.shape[0] == 16
+
+    # Same pixels but different shape must NOT collide (shape is part
+    # of the hash key).
+    c = TextureAtlasBuilder()
+    flat = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    tall = flat.reshape(4, 2, 3).copy()
+    assert c.add(flat) != c.add(tall)
