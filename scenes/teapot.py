@@ -1,6 +1,11 @@
 """BASELINE config 2: Utah teapot OBJ under BVH with smooth vertex
 normals, hard shadows (Phong debug mode — the reference's shadow-ray
-shading, tracing.rs:277-297)."""
+shading, tracing.rs:277-297).
+
+Defaults to the ~6k-triangle spec mesh (assets/teapot_6k.obj, the
+midpoint subdivision of the reference checkout's 240-tri decimation —
+BASELINE config 2 says "~6k tris target"). Pass obj_path or --set
+obj_path=... for the raw 240-tri /root/reference/obj/teapot.obj."""
 
 from __future__ import annotations
 
@@ -28,7 +33,16 @@ def build(
     obj_path: str | None = None,
 ) -> Scene:
     if obj_path is None:
-        obj_path = os.path.join(ASSET_DIR, "obj", "teapot.obj")
+        spec = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets", "teapot_6k.obj",
+        )
+        if os.path.exists(spec):
+            obj_path = spec  # config-2 spec mesh (~6k tris)
+        else:
+            # fallback: the reference checkout's 240-tri decimation
+            # (regenerate the spec mesh with tools/subdivide_teapot.py)
+            obj_path = os.path.join(ASSET_DIR, "obj", "teapot.obj")
 
     teapot = StaticMesh.load_from_file(
         obj_path,

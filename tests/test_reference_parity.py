@@ -24,6 +24,44 @@ from tools.compare_reference_render import (
 )
 
 
+@pytest.mark.slow
+def test_live_render_matches_reference_grid_region():
+    """LIVE estimator parity vs the reference golden (render.png): render
+    the demo scene small on the current backend and compare the
+    15-sphere-grid region's mean brightness. Unlike the committed-
+    artifact gate above, this fails on estimator drift (pdf factor,
+    emission accumulation, channel bleed, gamma) introduced AFTER the
+    artifact was generated — no artifact regen required. The region mean
+    is resolution-independent (fractional crop, thousands of pixels
+    averaged), so a 128² render is comparable against the 1024²
+    reference; measured deltas at HEAD are ~2-3 u8 per channel while a
+    missed 1/(2π) lambertian pdf shifts the grid region by ~25 u8."""
+    from scenes import drone_demo
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+
+    scene = drone_demo.build(width=128, height=128, spp=16)
+    img, _ = render_to_image(scene, seed=0, verbose=False)
+
+    ref = np.asarray(Image.open(REFERENCE_RENDER).convert("RGB"))
+    rm = region_means(ref)["sphere_grid"]
+    om = region_means(np.asarray(img))["sphere_grid"]
+    delta = float(np.max(np.abs(rm - om)))
+    # Slack for 128²×16spp render noise + resolution edge effects on
+    # top of the artifact gate's 6.0; a pdf-convention bug is ~25 u8.
+    assert delta <= 9.0, (
+        f"live sphere_grid mean diverged from reference: ref={rm} "
+        f"ours={om} maxdelta={delta:.1f}"
+    )
+    # the bug-detection arm: the same region with a simulated missed
+    # lambertian pdf (radiance × 2/π → u8 × sqrt under gamma 2) must
+    # fail the gate by a wide margin
+    buggy = np.clip(
+        img.astype(np.float64) * (2.0 / np.pi) ** 0.5, 0, 255
+    )
+    bm = region_means(buggy)["sphere_grid"]
+    assert float(np.max(np.abs(rm - bm))) > 9.0
+
+
 def test_committed_artifact_matches_reference_regions():
     img = np.asarray(Image.open(DEFAULT_ARTIFACT).convert("RGB"))
     results = compare(img, verbose=True)
