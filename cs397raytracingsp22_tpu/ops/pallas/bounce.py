@@ -242,9 +242,12 @@ def scene_is_simple(scene) -> bool:
         return False
     if scene.n_gvols:
         return False
-    # the kernel's material resolve is a per-lane gather over one
-    # 128-lane table row (build_bounce_tables)
+    # the kernel's material AND analytic-primitive resolves are
+    # per-lane gathers over one 128-lane table row (build_bounce_tables)
     if int(scene.mat_type.shape[0]) > LANES:
+        return False
+    if (scene.n_spheres + scene.n_planes + scene.n_tris
+            + scene.n_volumes) > LANES:
         return False
     for m in scene.meshes:
         if m.mat_id < 0 or m.tex_ids[4] >= 0:
@@ -294,31 +297,17 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         if n_sph or n_vol:
             inv2a = 1.0 / (2.0 * d2)
 
-        best_t = jnp.full(shape, big, jnp.float32)
-        code = jnp.full(shape, -1, jnp.int32)
-        mat = izero
-        nx = fzero
-        ny = fzero
-        nz = fzero
-        ff = izero
+        # Packed analytic selection (same design as the mesh min-key
+        # scan): the only per-primitive carries are the exact winning t
+        # and the primitive's global row index — 2 selects instead of
+        # the old 7-field (t, code, mat, normal, ff) chain, and ALL
+        # per-primitive normal/front-face math disappears; the winner's
+        # normal/ff/material are resolved once per bounce from gt rows
+        # 11-17 (build_bounce_tables) by per-lane gather.
+        at = jnp.full(shape, big, jnp.float32)
+        aidx = jnp.full(shape, -1, jnp.int32)
 
-        carry0 = (best_t, code, mat, nx, ny, nz, ff)
-
-        def upd(carry, ok, t, c, m, nx_, ny_, nz_, ff_):
-            best_t, code, mat, nx, ny, nz, ff = carry
-            return (
-                jnp.where(ok, t, best_t),
-                jnp.where(ok, c, code),
-                jnp.where(ok, m, mat),
-                jnp.where(ok, nx_, nx),
-                jnp.where(ok, ny_, ny),
-                jnp.where(ok, nz_, nz),
-                jnp.where(ok, ff_, ff),
-            )
-
-        carry = carry0
-
-        def sph_body(s, carry):
+        def sph_body(s, at, aidx):
             cx = sph_f[s, 0]
             cy = sph_f[s, 1]
             cz = sph_f[s, 2]
@@ -334,25 +323,15 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             t1 = (-b - sq) * inv2a
             t2 = (-b + sq) * inv2a
             t = jnp.where(t1 >= t_min, t1, t2)
-            ok = ok0 & (t >= t_min) & (t < carry[0])
-            px = sox + t * sdx - cx
-            py = soy + t * sdy - cy
-            pz = soz + t * sdz - cz
-            inv_len = jax.lax.rsqrt(px * px + py * py + pz * pz + 1e-30)
-            gx = px * inv_len
-            gy = py * inv_len
-            gz = pz * inv_len
-            front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
-            sgn = jnp.where(front, 1.0, -1.0)
-            return upd(carry, ok, t, 0, sph_m[s],
-                       sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
+            ok = ok0 & (t >= t_min) & (t < at)
+            return jnp.where(ok, t, at), jnp.where(ok, s, aidx)
 
         # static unroll: small loops with Python-int indices let Mosaic
         # fold the SMEM loads into static offsets and schedule freely
         for s in range(n_sph):
-            carry = sph_body(s, carry)
+            at, aidx = sph_body(s, at, aidx)
 
-        def pln_body(p, carry):
+        def pln_body(p, at, aidx):
             px = pln_f[p, 0]
             py = pln_f[p, 1]
             pz = pln_f[p, 2]
@@ -360,18 +339,17 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             wy = pln_f[p, 4]
             wz = pln_f[p, 5]
             od = (sox - px) * wx + (soy - py) * wy + (soz - pz) * wz
-            sgn = jnp.where(od >= 0.0, 1.0, -1.0)
-            fx = sgn * wx
-            fy = sgn * wy
-            fz = sgn * wz
-            dd = sdx * fx + sdy * fy + sdz * fz
-            t = jnp.abs(od) / jnp.abs(jnp.where(dd == 0.0, 1.0, dd))
-            ok = (dd < 0.0) & (t >= t_min) & (t < carry[0])
-            return upd(carry, ok, t, 1, pln_m[p],
-                       fx, fy, fz, jnp.ones(shape, jnp.int32))
+            dw = sdx * wx + sdy * wy + sdz * wz
+            # toward-the-plane ⇔ sign(od) ≠ sign(dw) ⇔ (-od)/dw > 0, and
+            # that quotient IS the old |od|/|sgn·dw| bit-for-bit when
+            # accepted (sign bits only). dw=0 → ±inf loses to t<at;
+            # od=0 → t=±0 (or NaN) loses to t≥t_min: no special cases.
+            t = (-od) / dw
+            ok = (t >= t_min) & (t < at)
+            return jnp.where(ok, t, at), jnp.where(ok, n_sph + p, aidx)
 
         for p in range(n_pln):
-            carry = pln_body(p, carry)
+            at, aidx = pln_body(p, at, aidx)
 
         def mt(ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z, ox_, oy_, oz_,
                dx_, dy_, dz_, best):
@@ -394,23 +372,18 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                   & (t >= t_min) & (t < best))
             return ok, t, u, v
 
-        def tri_body(i, carry):
+        def tri_body(i, at, aidx):
             ok, t, u, v = mt(
                 tri_f[i, 0], tri_f[i, 1], tri_f[i, 2],
                 tri_f[i, 3], tri_f[i, 4], tri_f[i, 5],
                 tri_f[i, 6], tri_f[i, 7], tri_f[i, 8],
-                sox, soy, soz, sdx, sdy, sdz, carry[0],
+                sox, soy, soz, sdx, sdy, sdz, at,
             )
-            gx = tri_f[i, 9]
-            gy = tri_f[i, 10]
-            gz = tri_f[i, 11]
-            front = (gx * sdx + gy * sdy + gz * sdz) < 0.0
-            sgn = jnp.where(front, 1.0, -1.0)
-            return upd(carry, ok, t, 2, tri_m[i],
-                       sgn * gx, sgn * gy, sgn * gz, front.astype(jnp.int32))
+            return (jnp.where(ok, t, at),
+                    jnp.where(ok, n_sph + n_pln + i, aidx))
 
         for i in range(n_tri):
-            carry = tri_body(i, carry)
+            at, aidx = tri_body(i, at, aidx)
 
         # bounce RNG (drawn before volumes need it): 4 + n_vol uniforms
         # — exactly the draws _bounce_draws makes (2 Threefry calls when
@@ -439,14 +412,14 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             t_entr = (-b - sq) * inv2a
             t_exit = (-b + sq) * inv2a
             exit_ok = ok0 & (t_exit >= t_entr + 1e-4)
-            in_range = (t_exit >= t_min) & (t_entr <= carry[0])
+            in_range = (t_exit >= t_min) & (t_entr <= at)
             t_start = jnp.maximum(t_entr, jnp.float32(t_min))
-            t_end = jnp.minimum(t_exit, carry[0])
+            t_end = jnp.minimum(t_exit, at)
             dist = neg_inv_rho * jnp.log(jnp.maximum(us[4 + vi], 1e-38))
             ok = ok0 & exit_ok & in_range & (dist < t_end - t_start)
             t = t_start + dist
-            carry = upd(carry, ok, t, 3, vol_m[vi],
-                        fzero, fzero, fzero, izero)
+            at = jnp.where(ok, t, at)
+            aidx = jnp.where(ok, n_sph + n_pln + n_tri + vi, aidx)
 
         # dense meshes, v4 packed min-key scan (module docstring): the
         # only per-triangle carries are one int32 key and the winning
@@ -458,7 +431,7 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         EPS2 = jnp.float32(float(MT_EPSILON) * float(MT_EPSILON))
         BW_COLS = 15
         tmin_f = jnp.float32(t_min)
-        best_t, code, mat, nx, ny, nz, ff = carry
+        best_t = at
 
         unsigned_key = _keycmp_mode() == "u"
 
@@ -709,11 +682,77 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-30)
             return x * inv, y * inv, z * inv
 
+        # ---- analytic winner resolve (once per bounce) ----
+        # gt rows 11-17 (build_bounce_tables) hold per-primitive
+        # [mat id, vec(center/w/normal), plane point]; one per-lane
+        # gather per row replaces the old per-primitive normal math +
+        # 7-select chain. Volume rows carry a zero vec, which yields
+        # the zero normal + ff=0 those hits need with no extra selects;
+        # miss lanes (aidx<0) produce garbage normals that every
+        # downstream update masks with live_hit (as before).
+        n_prim = n_sph + n_pln + n_tri + n_vol
+        ai = jnp.maximum(aidx, 0)
+
+        def prim_col(c):
+            return jnp.take_along_axis(
+                jnp.broadcast_to(mat_g[c][None, :], shape), ai, axis=1
+            )
+
+        if n_prim:
+            a_hit = aidx >= 0
+            mat = jnp.where(a_hit, prim_col(11).astype(jnp.int32), 0)
+        else:
+            a_hit = None
+            mat = izero
+
+        nx = fzero
+        ny = fzero
+        nz = fzero
+        ff = izero
+        if n_prim and not last:
+            vx = prim_col(12)
+            vy = prim_col(13)
+            vz = prim_col(14)
+            if n_sph:
+                # sphere: unit outward normal at the hit point
+                apx = sox + at * sdx
+                apy = soy + at * sdy
+                apz = soz + at * sdz
+                sxn = apx - vx
+                syn = apy - vy
+                szn = apz - vz
+                inv_len = jax.lax.rsqrt(
+                    sxn * sxn + syn * syn + szn * szn + 1e-30
+                )
+                is_sph_w = ai < n_sph
+                vx = jnp.where(is_sph_w, sxn * inv_len, vx)
+                vy = jnp.where(is_sph_w, syn * inv_len, vy)
+                vz = jnp.where(is_sph_w, szn * inv_len, vz)
+            dotd = vx * sdx + vy * sdy + vz * sdz
+            front = dotd < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            ffc = front
+            if n_pln:
+                # plane: Rust-signum flip toward the ray origin
+                # (geometry.rs plane quirk), front face always
+                is_pln_w = (ai >= n_sph) & (ai < n_sph + n_pln)
+                od = ((sox - prim_col(15)) * vx
+                      + (soy - prim_col(16)) * vy
+                      + (soz - prim_col(17)) * vz)
+                sgn = jnp.where(
+                    is_pln_w, jnp.where(od >= 0.0, 1.0, -1.0), sgn
+                )
+                ffc = is_pln_w | ffc
+            nx = sgn * vx
+            ny = sgn * vy
+            nz = sgn * vz
+            ff = ffc.astype(jnp.int32)
+
         if n_mesh:
             mesh_won = key < key0
 
-            # winner mesh membership + material/code (all the last
-            # bounce needs from a mesh hit: emission lookup key)
+            # winner mesh membership + material (all the last bounce
+            # needs from a mesh hit: emission lookup key)
             in_mi_list = []
             for mi, (start, count) in enumerate(mesh_ranges):
                 if n_mesh == 1:
@@ -724,7 +763,6 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                     in_mi = mesh_won & (widx >= lo16) & (widx < hi16)
                 in_mi_list.append(in_mi)
                 mat = jnp.where(in_mi, mesh_meta[mi], mat)
-                code = jnp.where(in_mi, 4 + mi, code)
 
         if n_mesh and not last:
             lane = widx & 127
@@ -834,7 +872,14 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 nz = jnp.where(mask, wz * inv_len, nz)
                 ff = jnp.where(mask, front.astype(jnp.int32), ff)
 
-        hit_valid = code >= 0
+        if n_prim and n_mesh:
+            hit_valid = a_hit | mesh_won
+        elif n_prim:
+            hit_valid = a_hit
+        elif n_mesh:
+            hit_valid = mesh_won
+        else:
+            hit_valid = izero > 0
 
         # ---------------- material resolve ----------------
         # Per-lane gather over the 128-lane-padded material table rows
@@ -1153,10 +1198,41 @@ def build_bounce_tables(scene):
     # dielectric eta without a per-ray divide (reciprocal of the same
     # float32 the kernel would divide by → bit-identical eta).
     n_mat_rows = mat_tab.shape[0]
-    mat_g = jnp.zeros((11, LANES), jnp.float32).at[:10, :n_mat_rows].set(
+    mat_g = jnp.zeros((18, LANES), jnp.float32).at[:10, :n_mat_rows].set(
         mat_tab.T
     )
     mat_g = mat_g.at[10, :n_mat_rows].set(1.0 / mat_tab[:, 9])
+    # Rows 11-17: the analytic-primitive resolve table, indexed by the
+    # packed scan's winner index aidx (sphere rows, then planes, tris,
+    # volumes — the scan's candidate numbering). Row 11 = material id;
+    # rows 12-14 = the type's resolve vector (sphere center / plane
+    # normal w / triangle geometric normal / zero for volumes — the
+    # zero vec IS the volume's zero normal); rows 15-17 = plane point
+    # (for the exact od = (o-p)·w signum recompute; zero otherwise).
+    n_s, n_p = scene.n_spheres, scene.n_planes
+    n_t, n_v = scene.n_tris, scene.n_volumes
+    prim_mat = jnp.concatenate([
+        jnp.asarray(scene.ksph_m, jnp.float32)[:n_s],
+        jnp.asarray(scene.kpln_m, jnp.float32)[:n_p],
+        jnp.asarray(scene.ktri_m, jnp.float32)[:n_t],
+        jnp.asarray(scene.kvol_m, jnp.float32)[:n_v],
+    ])
+    prim_vec = jnp.concatenate([
+        scene.ksph_f[:n_s, 0:3],
+        scene.kpln_f[:n_p, 3:6],
+        scene.ktri_f[:n_t, 9:12],
+        jnp.zeros((n_v, 3), jnp.float32),
+    ], axis=0)
+    prim_pt = jnp.concatenate([
+        jnp.zeros((n_s, 3), jnp.float32),
+        scene.kpln_f[:n_p, 0:3],
+        jnp.zeros((n_t + n_v, 3), jnp.float32),
+    ], axis=0)
+    n_prim = n_s + n_p + n_t + n_v
+    if n_prim:
+        mat_g = mat_g.at[11, :n_prim].set(prim_mat)
+        mat_g = mat_g.at[12:15, :n_prim].set(prim_vec.T)
+        mat_g = mat_g.at[15:18, :n_prim].set(prim_pt.T)
     # v4 post-scan gather tables: column-major 128-lane pieces so the
     # winner fetch is a per-lane take_along_axis over one table row.
     # bw_gather[c*P + p, l] = kmesh_bw[p*128 + l, c]; same for normals.

@@ -24,7 +24,13 @@ def configs():
         "cornell_metal_glass_16": lambda: cornell.build_config3(
             width=16, height=16, spp=8, path_depth=4
         ),
-        "teapot_phong_16": lambda: teapot.build(width=16, height=16, spp=4),
+        # pinned to the 240-tri checkout mesh: the golden gates the
+        # phong/dense code path, not the config-2 spec mesh size (the
+        # 6k default would also make this golden ~25x slower to check)
+        "teapot_phong_16": lambda: teapot.build(
+            width=16, height=16, spp=4,
+            obj_path="/root/reference/obj/teapot.obj",
+        ),
         "textured_16": lambda: textured_spheres.build(width=16, height=16, spp=4),
         "demo_16": lambda: drone_demo.build(width=16, height=16, spp=4, path_depth=4),
     }
