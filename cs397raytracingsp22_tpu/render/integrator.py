@@ -74,46 +74,114 @@ def _should_sort(scene: SceneData) -> bool:
     return has_big and jax.default_backend() == "tpu"
 
 
+def _key_bits() -> tuple[int, int]:
+    """(position, direction) bits per axis of the coherence key.
+    RT_KEY_BITS="p,q" overrides for A/B; 3p + 3q must fit under the
+    dead-ray bit (≤ 30)."""
+    import os
+
+    env = os.environ.get("RT_KEY_BITS")
+    if env is not None:
+        p, q = (int(x) for x in env.split(","))
+        assert 3 * (p + q) <= 30, "RT_KEY_BITS overflow int32 key"
+        return p, q
+    return 1, 6
+
+
 def _coherence_key(o, d, alive):
-    """Sort key: dead rays last, then a POSITION-MAJOR Morton — 1 bit per
-    axis of origin octant (over the batch's own bounding box), then
-    6 bits per axis of direction. Measured on the 32k-sphere big-mesh
-    kernel with realistic secondary rays (sphere-surface and box-wall
-    origin scenarios): position-major beats the old direction-major
+    """Sort key: dead rays last, then a POSITION-MAJOR Morton — p bits
+    per axis of Morton-interleaved origin cell (over the batch's own
+    bounding box), then q bits per axis of direction ((p, q) from
+    _key_bits). Measured on the 32k-sphere big-mesh kernel with
+    realistic secondary rays (sphere-surface and box-wall origin
+    scenarios): position-major beats the old direction-major
     (dir5<<9|pos3) key 14.6 vs 8.8 and 5.7 vs 3.3 Mrays/s — the
     piece/superleaf slab culling depends on positional intervals, so
     blocks must first share an origin region; direction fine-sorts
-    within the octant. The content-keyed RNG (uids travel with the rays)
+    within the cell. The content-keyed RNG (uids travel with the rays)
     makes any permutation produce bit-identical radiance."""
+    pbits, qbits = _key_bits()
     dn = d * jax.lax.rsqrt(vm.magnitude2(d) + 1e-30)[:, None]
-    qd = jnp.clip(((dn + 1.0) * 31.999).astype(jnp.int32), 0, 63)
+    qd = jnp.clip(
+        ((dn + 1.0) * (2.0 ** (qbits - 1) - 1e-3)).astype(jnp.int32),
+        0, (1 << qbits) - 1,
+    )
     lo = jnp.min(o, axis=0)
     hi = jnp.max(o, axis=0)
     qp = jnp.clip(
-        ((o - lo) / jnp.maximum(hi - lo, 1e-6) * 1.999).astype(jnp.int32), 0, 1
+        ((o - lo) / jnp.maximum(hi - lo, 1e-6) * ((1 << pbits) - 1e-3))
+        .astype(jnp.int32),
+        0, (1 << pbits) - 1,
     )
     dmort = jnp.zeros(d.shape[:1], jnp.int32)
-    for i in range(6):
+    for i in range(qbits):
         for a in range(3):
             dmort = dmort | (((qd[:, a] >> i) & 1) << (3 * i + a))
-    poct = (qp[:, 0] << 2) | (qp[:, 1] << 1) | qp[:, 2]
+    pmort = jnp.zeros(o.shape[:1], jnp.int32)
+    for i in range(pbits):
+        for a in range(3):
+            pmort = pmort | (((qp[:, a] >> i) & 1) << (3 * i + (2 - a)))
     return (
-        (~alive).astype(jnp.int32) << 24 | poct << 18 | dmort
+        (~alive).astype(jnp.int32) << 30
+        | pmort << (3 * qbits)
+        | dmort
     )
+
+
+def _sort_apply_mode() -> str:
+    """How the coherence permutation is APPLIED to the wavefront state:
+    "take" (default) sorts only (key, iota) and applies the permutation
+    with two row gathers — the bitonic sort network moves 2 operands
+    through its O(log² n) compare-exchange passes instead of 16, and the
+    payload crosses HBM exactly once; "sort" restores the original
+    16-operand multi-operand lax.sort. Both are the same permutation
+    (lax.sort is stable, iota breaks ties identically) → bit-identical
+    images. RT_SORT_APPLY overrides for A/B."""
+    import os
+
+    return os.environ.get("RT_SORT_APPLY", "take")
 
 
 def _sort_state(o, d, thr, rad, uids, pos, alive, extra_i=None):
     """Coherence sort of the full wavefront state (dead rays last, then
-    the position-major Morton key): the ONE multi-operand `lax.sort`
-    every executor shares — XLA scatter compaction measured 13.8×
-    slower, so sorting is the only reordering primitive used. The
-    content-keyed RNG (uids travel with the rays) makes any permutation
-    produce bit-identical radiance.
+    the position-major Morton key): the ONE reordering primitive every
+    executor shares — XLA scatter compaction measured 13.8× slower, so
+    sorting is the only reordering used. The content-keyed RNG (uids
+    travel with the rays) makes any permutation produce bit-identical
+    radiance.
 
     extra_i: optional (N,) int32 rider permuted with the state (the NEE
     executors carry their emission-suppression flag this way); returned
     as the last element when given."""
     key = _coherence_key(o, d, alive)
+    if _sort_apply_mode() == "take":
+        n = key.shape[0]
+        _, perm = jax.lax.sort(
+            [key, jnp.arange(n, dtype=jnp.int32)], num_keys=1
+        )
+        fmat = jnp.take(
+            jnp.concatenate([o, d, thr, rad], axis=1), perm, axis=0
+        )
+        icols = [
+            jax.lax.bitcast_convert_type(uids, jnp.int32),
+            pos,
+            alive.astype(jnp.int32),
+        ]
+        if extra_i is not None:
+            icols.append(extra_i)
+        imat = jnp.take(jnp.stack(icols, axis=-1), perm, axis=0)
+        base = (
+            fmat[:, 0:3],
+            fmat[:, 3:6],
+            fmat[:, 6:9],
+            fmat[:, 9:12],
+            jax.lax.bitcast_convert_type(imat[:, 0], uids.dtype),
+            imat[:, 1],
+            imat[:, 2] > 0,
+        )
+        if extra_i is None:
+            return base
+        return base + (imat[:, 3],)
     ops = [key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
            thr[:, 0], thr[:, 1], thr[:, 2],
            rad[:, 0], rad[:, 1], rad[:, 2],

@@ -125,3 +125,30 @@ def test_oct_normal_roundtrip():
     axes = np.eye(3)
     dec_axes = _oct_decode(_oct_encode(np.concatenate([axes, -axes])))
     np.testing.assert_allclose(dec_axes, np.concatenate([axes, -axes]), atol=1e-6)
+
+
+def test_sort_apply_take_matches_multi_operand_sort(monkeypatch):
+    """The take-based permutation apply (_sort_apply_mode "take") must be
+    BIT-identical to the 16-operand lax.sort it replaces: lax.sort is
+    stable and iota breaks ties in input order, so both paths realize
+    the same permutation — including duplicate coherence keys and the
+    extra_i rider."""
+    rng = np.random.default_rng(11)
+    n = 4096
+    o = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    thr = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    rad = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    uids = jnp.asarray(rng.integers(0, 2**31, n), jnp.uint32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    alive = jnp.asarray(rng.uniform(size=n) < 0.4)
+    extra = jnp.asarray(rng.integers(0, 7, n), jnp.int32)
+
+    monkeypatch.setenv("RT_SORT_APPLY", "sort")
+    ref = integrator._sort_state(o, d, thr, rad, uids, pos, alive, extra)
+    monkeypatch.setenv("RT_SORT_APPLY", "take")
+    out = integrator._sort_state(o, d, thr, rad, uids, pos, alive, extra)
+
+    assert out[4].dtype == ref[4].dtype
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

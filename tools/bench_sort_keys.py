@@ -44,12 +44,19 @@ qp4 = np.clip(((o - lo) / np.maximum(hi - lo, 1e-6) * 15.999).astype(np.int64), 
 qd4 = np.clip(((dn + 1) * 7.999).astype(np.int64), 0, 15)
 qd3 = np.clip(((dn + 1) * 3.999).astype(np.int64), 0, 7)
 qd6 = np.clip(((dn + 1) * 31.999).astype(np.int64), 0, 63)
+qp5 = np.clip(((o - lo) / np.maximum(hi - lo, 1e-6) * 31.999).astype(np.int64), 0, 31)
 keys = {
     "pos2-dir5": morton(2, qp3 >> 1) << 15 | morton(5, qd5),
     "pos1-dir5": morton(1, qp3 >> 2) << 15 | morton(5, qd5),
     "pos2-dir6": morton(2, qp3 >> 1) << 18 | morton(6, qd6),
     "pos2-dir4": morton(2, qp3 >> 1) << 12 | morton(4, qd4),
     "pos1-dir6": morton(1, qp3 >> 2) << 18 | morton(6, qd6),
+    "pos3-dir5": morton(3, qp3) << 15 | morton(5, qd5),
+    "pos3-dir4": morton(3, qp3) << 12 | morton(4, qd4),
+    "pos4-dir4": morton(4, qp4) << 12 | morton(4, qd4),
+    "pos4-dir3": morton(4, qp4) << 9 | morton(3, qd3),
+    "pos5-dir3": morton(5, qp5) << 9 | morton(3, qd3),
+    "pos6-dir2": morton(6, qp6) << 6 | morton(2, qd2),
     "dir6 only": morton(6, qd6),
 }
 
