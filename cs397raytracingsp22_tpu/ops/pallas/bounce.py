@@ -148,6 +148,36 @@ def _num_mode() -> str:
     return os.environ.get("RT_NUM", "sub")
 
 
+def _probe() -> frozenset:
+    """RT_PROBE: comma-list of DIAGNOSTIC section knockouts for wall-time
+    attribution (tools/bounce_cost_probe.py). Each mode removes or
+    cheapens one section of the bounce body so its true cycle cost —
+    including multi-cycle ops (divide/sqrt/transcendentals) invisible to
+    jaxpr eq counts — shows up as a bench delta:
+
+      rng        Threefry → constants
+      ball       ball sampling → linear ops (no exp/log/sin/cos/sqrt)
+      cbrt       ball cube root only → linear (exp+log share)
+      sincos     ball circle point only → linear (sin+cos share)
+      mresolve   mesh winner resolve → key-decoded t + constant normal
+      nobsdf     material switch → hemisphere/lambertian only
+      noscan     dense mesh scan + resolve removed entirely
+      noanalytic analytic primitive scan + resolve removed
+
+    Round-4 measured table (512²·64spp north-star dispatch, v5e,
+    283.6 ms base): mresolve −8.0%, noanalytic −4.7%, ball −1.3%,
+    nobsdf −0.7%, planerecip (since productionized) −0.6%, rng −0.4%,
+    noscan −83.2%; RT_RECIP=1 (Newton in the scan) LOSES 6.0%.
+
+    PARITY-BREAKING by design; never set in production renders. Read at
+    trace time (A/B runs use a fresh process per mode, like every RT_*
+    kernel knob)."""
+    import os
+
+    v = os.environ.get("RT_PROBE", "")
+    return frozenset(x for x in v.split(",") if x)
+
+
 def _keycmp_mode() -> str:
     """RT_KEYCMP: "u" runs the dense-scan min over UNSIGNED key
     patterns — a rejected candidate is forced to 0xFFFFFFFF by or-ing
@@ -281,6 +311,9 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
     has_die = matlib.DIELECTRIC in mat_present
     has_par = matlib.PARAMETERIZED in mat_present
     has_iso = matlib.ISOTROPIC in mat_present
+    if "nobsdf" in _probe():
+        # diagnostic: all non-lambertian branches knocked out (see _probe)
+        has_met = has_die = has_par = has_iso = False
     n_mesh = len(mesh_ranges)
     fzero = jnp.zeros(shape, jnp.float32)
     izero = jnp.zeros(shape, jnp.int32)
@@ -344,7 +377,16 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             # that quotient IS the old |od|/|sgn·dw| bit-for-bit when
             # accepted (sign bits only). dw=0 → ±inf loses to t<at;
             # od=0 → t=±0 (or NaN) loses to t≥t_min: no special cases.
-            t = (-od) / dw
+            # TPU uses the approx reciprocal (the true divide was 0.6%
+            # of the whole bench dispatch across 5 planes — RT_PROBE
+            # planerecip measurement); like the mesh scan, the approx t
+            # only steers candidate selection — the WINNER's t is
+            # re-derived with one exact divide in the analytic resolve,
+            # so hit points never carry the 2^-15.9 reciprocal error.
+            if exact_recip or _recip_mode() == "0":
+                t = (-od) / dw
+            else:
+                t = (-od) * pl.reciprocal(dw, approx=True)
             ok = (t >= t_min) & (t < at)
             return jnp.where(ok, t, at), jnp.where(ok, n_sph + p, aidx)
 
@@ -390,7 +432,11 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         # the scene has no volumes). The last bounce draws only the
         # volume tail (same counters → bit-identical free flight).
         site = site_u32
-        if last:
+        if "rng" in _probe():
+            # diagnostic: Threefry knocked out (see _probe)
+            us = [sdx * 0.0 + c for c in
+                  (0.3, 0.5, 0.7, 0.9) + (0.6,) * n_vol]
+        elif last:
             us = [None] * 4 + _uniforms(k0, k1, uid_u, site, n_vol, first=4)
         else:
             us = _uniforms(k0, k1, uid_u, site, 4 + n_vol)
@@ -462,6 +508,7 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         key0 = bci(best_t - tmin_f)
         key = key0
         widx = izero
+        scan_md: list = []
 
         for mi, (start, count) in enumerate(mesh_ranges):
             r00 = mesh_xf[mi, 0]
@@ -479,6 +526,9 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             mdx = r00 * sdx + r01 * sdy + r02 * sdz
             mdy = r10 * sdx + r11 * sdy + r12 * sdz
             mdz = r20 * sdx + r21 * sdy + r22 * sdz
+            # the winner resolve reuses these exact values (bit-identical
+            # by definition; re-deriving them cost 9 VPU ops per mesh)
+            scan_md.append((mdx, mdy, mdz))
             # t_min-advanced mesh-space origin: hit points are identical
             # (mo' + t'·md = mo + t·md) but the per-triangle t ≥ t_min
             # reject becomes a free sign test of t' (see key0 above).
@@ -743,6 +793,14 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                     is_pln_w, jnp.where(od >= 0.0, 1.0, -1.0), sgn
                 )
                 ffc = is_pln_w | ffc
+                # exact winner t (ONE true divide per bounce, replacing
+                # one per plane in the scan): od and dotd here are the
+                # same expressions the scan evaluates, so in exact-recip
+                # (interpret/CPU) mode this rewrite is a bitwise no-op;
+                # on TPU it confines the scan's approx-reciprocal error
+                # to winner choice, exactly like the mesh-scan contract.
+                t_pl = (-od) / dotd
+                best_t = jnp.where(is_pln_w, t_pl, best_t)
             nx = sgn * vx
             ny = sgn * vy
             nz = sgn * vz
@@ -764,7 +822,16 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 in_mi_list.append(in_mi)
                 mat = jnp.where(in_mi, mesh_meta[mi], mat)
 
-        if n_mesh and not last:
+        if n_mesh and not last and "mresolve" in _probe():
+            # diagnostic: winner gather/normal knocked out — t decoded
+            # straight from the scan key, constant normal (see _probe)
+            t_mesh = bcf(key) + tmin_f
+            best_t = jnp.where(mesh_won, t_mesh, best_t)
+            nx = jnp.where(mesh_won, 0.0, nx)
+            ny = jnp.where(mesh_won, 0.0, ny)
+            nz = jnp.where(mesh_won, 1.0, nz)
+            ff = jnp.where(mesh_won, 1, ff)
+        elif n_mesh and not last:
             lane = widx & 127
             piece = widx >> 7
             n_pieces = bw_v.shape[0] // 12
@@ -779,7 +846,12 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                     acc = g if acc is None else jnp.where(piece == p, g, acc)
                 return acc
 
-            # winner's mesh-space ray (selected across meshes)
+            # winner's mesh-space ray: the direction is REUSED from the
+            # scan (identical expression — bit-identical value); the
+            # UNSHIFTED origin is recomputed exactly as the jnp twin
+            # does (the scan's origin is t_min-advanced, and unshifting
+            # it would round differently). Single-mesh scenes skip the
+            # cross-mesh selects entirely.
             moxw = fzero
             moyw = fzero
             mozw = fzero
@@ -800,15 +872,17 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 mox = (r00 * sox + r01 * soy + r02 * soz + mesh_xf[mi, 9])
                 moy = (r10 * sox + r11 * soy + r12 * soz + mesh_xf[mi, 10])
                 moz = (r20 * sox + r21 * soy + r22 * soz + mesh_xf[mi, 11])
-                mdx = r00 * sdx + r01 * sdy + r02 * sdz
-                mdy = r10 * sdx + r11 * sdy + r12 * sdz
-                mdz = r20 * sdx + r21 * sdy + r22 * sdz
-                moxw = jnp.where(in_mi, mox, moxw)
-                moyw = jnp.where(in_mi, moy, moyw)
-                mozw = jnp.where(in_mi, moz, mozw)
-                mdxw = jnp.where(in_mi, mdx, mdxw)
-                mdyw = jnp.where(in_mi, mdy, mdyw)
-                mdzw = jnp.where(in_mi, mdz, mdzw)
+                mdx, mdy, mdz = scan_md[mi]
+                if n_mesh == 1:
+                    moxw, moyw, mozw = mox, moy, moz
+                    mdxw, mdyw, mdzw = mdx, mdy, mdz
+                else:
+                    moxw = jnp.where(in_mi, mox, moxw)
+                    moyw = jnp.where(in_mi, moy, moyw)
+                    mozw = jnp.where(in_mi, moz, mozw)
+                    mdxw = jnp.where(in_mi, mdx, mdxw)
+                    mdyw = jnp.where(in_mi, mdy, mdyw)
+                    mdzw = jnp.where(in_mi, mdz, mdzw)
 
             # exact winner t from the gathered Baldwin–Weber normal row
             # (one true divide per bounce): hit points never carry the
@@ -831,6 +905,12 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             vv = (gather_col(bw_v, 8) * pxw + gather_col(bw_v, 9) * pyw
                   + gather_col(bw_v, 10) * pzw + gather_col(bw_v, 11))
 
+            # corner normals: 3 packed-int gathers + in-register
+            # octahedral decode. (A round-4 A/B replaced these with 9
+            # f32 gathers of the pre-decoded values — eq count barely
+            # moved and the bench LOST ~1%: Mosaic's per-lane dynamic
+            # gather is multi-cycle, so 6 extra gathers cost more than
+            # 3 decode blocks + 3 rsqrt. Negative result; kept packed.)
             n0x, n0y, n0z = oct_dec(gather_col(nrm_v, 0))
             n1x, n1y, n1z = oct_dec(gather_col(nrm_v, 1))
             n2x, n2y, n2z = oct_dec(gather_col(nrm_v, 2))
@@ -931,13 +1011,33 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         pz = soz + best_t * sdz
 
         # ball sample from u0..u2 (sampling.ball_vec_from_uniform)
-        zb = 2.0 * us[0] - 1.0
-        phi = TWO_PI * us[1]
-        rad_b_ = jnp.exp(jnp.log(jnp.maximum(us[2], 1e-38)) * (1.0 / 3.0))
-        sb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
-        bx = rad_b_ * sb * jnp.cos(phi)
-        by = rad_b_ * sb * jnp.sin(phi)
-        bz = rad_b_ * zb
+        if "ball" in _probe():
+            # diagnostic: transcendental-free stand-in (see _probe)
+            bx = us[0] - 0.5
+            by = us[1] - 0.5
+            bz = us[2] - 0.5
+        else:
+            zb = 2.0 * us[0] - 1.0
+            phi = TWO_PI * us[1]
+            if "cbrt" in _probe():
+                # diagnostic: cube root → linear (isolates the exp+log
+                # share of the ball budget from sin/cos/sqrt)
+                rad_b_ = us[2]
+            else:
+                rad_b_ = jnp.exp(
+                    jnp.log(jnp.maximum(us[2], 1e-38)) * (1.0 / 3.0)
+                )
+            if "sincos" in _probe():
+                # diagnostic: circle point → linear
+                cphi = us[1] - 0.5
+                sphi = 0.5 - us[1]
+            else:
+                cphi = jnp.cos(phi)
+                sphi = jnp.sin(phi)
+            sb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
+            bx = rad_b_ * sb * cphi
+            by = rad_b_ * sb * sphi
+            bz = rad_b_ * zb
         u_choice = us[3]
 
         # hemisphere fold about n
@@ -1162,7 +1262,10 @@ def build_bounce_tables(scene):
                 ]
             )
         )
-        # octahedral-packed corner normals, bitcast to int32 for SMEM
+        # octahedral-packed corner normals, bitcast to int32 for SMEM.
+        # (Round-4 negative result: shipping the pre-decoded values as
+        # 9 f32 gather columns instead LOST ~1% on the bench — Mosaic's
+        # per-lane gather is multi-cycle, costing more than the decode.)
         nr = jax.lax.bitcast_convert_type(
             jnp.asarray(m.tri_noct), jnp.int32
         ).reshape(-1, 3)
@@ -1317,6 +1420,12 @@ def path_trace_pallas(
         mat_present=scene.mat_types_present,
         dense_unroll=dense_unroll,
     )
+    probe = _probe()
+    if "noscan" in probe:  # diagnostic (see _probe)
+        counts["mesh_ranges"] = ()
+        counts["sl_ranges"] = ()
+    if "noanalytic" in probe:  # diagnostic (see _probe)
+        counts.update(n_sph=0, n_pln=0, n_tri=0, n_vol=0)
     kernel = _make_kernel(
         counts, path_depth=path_depth, t_min=t_min, max_dist=max_trace_dist,
         exact_recip=interpret,
