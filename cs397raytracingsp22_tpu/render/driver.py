@@ -183,27 +183,94 @@ def _pixel_sum(radiance, n_px, per_px):
     return jnp.sum(radiance.reshape(n_px, per_px, 3), axis=1)
 
 
+_path_trace_static_jit = jax.jit(
+    integrator.path_trace_static,
+    static_argnames=("path_depth", "max_trace_dist", "widths"),
+)
+
+
+def _build_width_schedule(n, live_counts, depth, margin, min_width=4096):
+    """Width schedule for path_trace_static from one measured chunk's
+    post-bounce live counts: widths[b] bounds the live count entering
+    bounce b (= live-after-(b-1) measured × margin), rounded up to the
+    next power-of-2 bucket of n (static shapes; all widths live inside
+    ONE compiled program, so finer buckets cost trace size, not extra
+    dispatch compiles — pow2 beat pow4 by keeping bounce 2 off full
+    width on config 4), clamped to [min_width, n], nonincreasing;
+    widths[0] = n."""
+    widths = [n]
+    for b in range(1, depth):
+        need = (
+            int(live_counts[b - 1] * margin)
+            if b - 1 < len(live_counts)
+            else 0
+        )
+        w = n
+        while w // 2 >= max(need, min_width):
+            w //= 2
+        widths.append(min(w, widths[-1]))
+    return tuple(widths)
+
+
 def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
-                        spp, n_chains=1):
-    """Chunk executor for textured/big-mesh scenes on TPU: host-
-    orchestrated per-bounce dispatch with a shrinking wavefront
-    (integrator.path_trace_shrink) instead of one fused fori-loop
-    program. Same signature and bit-identical radiance as render_chunk —
-    the driver picks it when the mega-bounce kernel can't run the scene
-    (scene_is_simple false), where full-width dead-ray dispatches
-    dominate the staged pipeline's cost."""
+                        spp, n_chains=1, staged_state=None):
+    """Chunk executor for textured/big-mesh scenes on TPU.
+
+    Default (staged_state given, non-NEE, RT_STATIC!=0): ONE fused
+    program with a PREDICTED width schedule (integrator.path_trace_
+    static). The first chunk per ray-count runs the host-orchestrated
+    shrink executor with collect_live to measure per-bounce live counts
+    (one extra sync), bakes a schedule (live × RT_STATIC_MARGIN,
+    power-of-4 buckets), and every later chunk dispatches the whole
+    depth as one program — no per-bounce dispatch, no alive-count
+    round-trips, and every stage (sort/kernels/resolve/BSDF) pays only
+    the scheduled width. A chunk whose live count beats the schedule
+    raises the `ok=False` flag, which the driver's sync() folds into
+    its snapshot-replay recovery (the chunk re-runs exactly).
+
+    Fallback (no staged_state, or --nee): per-bounce shrink executors.
+    Bit-identical radiance either way (content-keyed RNG; only dead
+    rays are ever retired early)."""
     n_px = pixel_ids.shape[0]
     o, d, uids = _raygen_jit(
         camera, pixel_ids, rng_key, sample_offset, spp, n_chains
     )
-    trace = (
-        integrator.path_trace_nee_shrink
-        if camera.nee
-        else integrator.path_trace_shrink
+    use_static = (
+        staged_state is not None
+        and not camera.nee
+        and os.environ.get("RT_STATIC", "1") == "1"
     )
-    radiance, segments = trace(
-        scene, o, d, uids, rng_key, camera.path_depth, camera.max_trace_dist
-    )
+    if camera.nee:
+        radiance, segments = integrator.path_trace_nee_shrink(
+            scene, o, d, uids, rng_key, camera.path_depth,
+            camera.max_trace_dist,
+        )
+    elif use_static:
+        n = o.shape[0]
+        widths = staged_state["widths"].get(n)
+        if widths is None:
+            live: list = []
+            radiance, segments = integrator.path_trace_shrink(
+                scene, o, d, uids, rng_key, camera.path_depth,
+                camera.max_trace_dist, collect_live=live,
+            )
+            counts = [int(x) for x in live]  # one-time sync per shape
+            staged_state["widths"][n] = _build_width_schedule(
+                n, counts, camera.path_depth, staged_state["margin"],
+                min_width=int(os.environ.get("RT_STATIC_MIN_WIDTH", "4096")),
+            )
+        else:
+            radiance, segments, ok = _path_trace_static_jit(
+                scene, o, d, uids, rng_key,
+                path_depth=camera.path_depth,
+                max_trace_dist=camera.max_trace_dist, widths=widths,
+            )
+            staged_state["oks"].append((ok, n))
+    else:
+        radiance, segments = integrator.path_trace_shrink(
+            scene, o, d, uids, rng_key, camera.path_depth,
+            camera.max_trace_dist,
+        )
     rad_sum = _pixel_sum(radiance, n_px, spp * n_chains) / n_chains
     return rad_sum, segments
 
@@ -352,6 +419,7 @@ def render_to_image(
     spp_chunk = min(spp_chunk, spp)
 
     rng_key = threefry.key_words(seed)
+    staged_state = None  # set by the staged (big-mesh) executor branch
     # Multi-process handling (global arrays, per-host gathers) only
     # applies when rendering over a device mesh; a plain mesh-less call
     # from a multi-process job renders its full local image with
@@ -421,13 +489,19 @@ def render_to_image(
            # (path_trace_nee_shrink) — same shrink machinery
 
         if use_shrink:
+            staged_state = {
+                "widths": {},
+                "oks": [],
+                "margin": float(os.environ.get("RT_STATIC_MARGIN", "1.5")),
+            }
 
             def _dispatch(ids_dev, s0_dev, s_count):
-                # staged scenes: per-bounce shrinking wavefront
-                # (render_chunk_staged docstring); bit-identical output
+                # staged scenes: fused static-width program (first chunk
+                # measures the live-count schedule; render_chunk_staged
+                # docstring); bit-identical output
                 return render_chunk_staged(
                     scene_data, cam, ids_dev, rng_key, s0_dev, s_count,
-                    n_chains,
+                    n_chains, staged_state=staged_state,
                 )
 
         else:
@@ -577,10 +651,29 @@ def render_to_image(
     n_spp_chunks = max(1, -(-(spp - spp_done) // spp_chunk))
     total_chunks = n_spp_chunks * n_pixel_chunks
 
+    def _replay_pending():
+        """Rebuild the accumulator from the last known-good snapshot by
+        re-running every pending chunk synchronously."""
+        nonlocal pieces, seg_total
+        pieces = list(good_pieces)
+        seg_total = seg_good
+        for ci, args in pending:
+            rad, segs = _dispatch_with_retry(_dispatch, args)
+            pieces[ci] = (
+                rad if pieces[ci] is None else _accum_add(pieces[ci], rad)
+            )
+            seg_total = (
+                segs if seg_total is None else _accum_add(seg_total, segs)
+            )
+        jax.block_until_ready([p for p in pieces if p is not None])
+
     def sync():
         """Wait for everything dispatched so far; on an async device
         error, replay the chunks since the last known-good snapshot
-        synchronously (SURVEY §5 failure recovery)."""
+        synchronously (SURVEY §5 failure recovery). The staged static-
+        width executor's schedule-violation flags are checked here too —
+        a violated chunk's radiance is invalid, so the same snapshot-
+        replay rebuilds the window (with a widened schedule)."""
         nonlocal pieces, good_pieces, seg_total, seg_good, pending
         nonlocal since_sync, first_chunk_done, last_sync
         nonlocal window_primary, seg_at_last
@@ -599,17 +692,28 @@ def render_to_image(
                 # Multi-host recovery is restart-from-checkpoint (chunks
                 # are stateless; the checkpoint is authoritative).
                 raise
-            pieces = list(good_pieces)
-            seg_total = seg_good
-            for ci, args in pending:
-                rad, segs = _dispatch_with_retry(_dispatch, args)
-                pieces[ci] = (
-                    rad if pieces[ci] is None else _accum_add(pieces[ci], rad)
+            _replay_pending()
+        while staged_state is not None and staged_state["oks"]:
+            oks = staged_state["oks"]
+            staged_state["oks"] = []
+            bad_shapes = {n for okv, n in oks if not bool(okv)}
+            if not bad_shapes:
+                break
+            # schedule undershot for these ray counts: widen the margin,
+            # drop the schedules (the next dispatch per shape
+            # re-measures), and rebuild the window exactly. Loops until
+            # a replay reports no violations — the margin doubles each
+            # round, so the schedule monotonically approaches
+            # full-width (where ok is unconditionally True).
+            staged_state["margin"] *= 2.0
+            for n_bad in bad_shapes:
+                staged_state["widths"].pop(n_bad, None)
+            if verbose:
+                print(
+                    "\n[render] static width schedule undershot; "
+                    f"remeasuring with margin {staged_state['margin']}"
                 )
-                seg_total = (
-                    segs if seg_total is None else _accum_add(seg_total, segs)
-                )
-            jax.block_until_ready([p for p in pieces if p is not None])
+            _replay_pending()
         now = time.perf_counter()
         segs_now = float(seg_total) if seg_total is not None else 0.0
         if not first_chunk_done:

@@ -581,6 +581,94 @@ _bounce_once = jax.jit(
 )
 
 
+def path_trace_static(
+    scene: SceneData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    uids: jnp.ndarray,
+    rng_key,
+    path_depth: int,
+    max_trace_dist: float,
+    widths: tuple,
+):
+    """path_trace_shrink with a STATIC width schedule: the whole staged
+    pipeline traces as ONE program — no per-bounce host dispatch and no
+    alive-count round-trips (measured ~25 ms each on this environment's
+    tunneled TPU; the per-bounce profile shows a ~25-30 ms floor per
+    eagerly-dispatched bounce at ANY width, tools/
+    profile_config4_bounces.py). The driver measures per-bounce live
+    counts on a render's FIRST chunk (path_trace_shrink with
+    collect_live) and bakes a width schedule for the rest; live counts
+    are scene- and depth-stationary across chunks of one render, so the
+    schedule holds with margin.
+
+    widths: len == path_depth, nonincreasing, widths[0] == n, each a
+    bound on the live count entering that bounce. Truncated tail rows
+    are retired exactly like path_trace_shrink's buckets.
+
+    Returns (radiance, segments, ok): `ok` is False iff some truncation
+    dropped a ray that was still ALIVE — the schedule was too tight for
+    this chunk, the radiance is invalid, and the caller must re-run the
+    chunk with path_trace_shrink (the driver folds this into its
+    existing snapshot-replay recovery). When ok is True the output is
+    bit-identical to path_trace/path_trace_shrink (content-keyed RNG;
+    only dead rays were retired early).
+    """
+    n = o.shape[0]
+    assert len(widths) == path_depth and widths[0] == n
+    assert all(widths[i + 1] <= widths[i] for i in range(path_depth - 1))
+    if isinstance(rng_key, int):
+        rng_key = threefry.key_words(rng_key)
+    state = (
+        o, d,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+        uids,
+        jnp.arange(n, dtype=jnp.int32),
+    )
+    sort_rays = _should_sort(scene)
+    if sort_rays:
+        o_, d_, thr_, rad_, uids_, pos_, alive_ = _sort_state(
+            state[0], state[1], state[2], state[3],
+            state[5], state[6], state[4],
+        )
+        state = (o_, d_, thr_, rad_, alive_, uids_, pos_)
+
+    retired: list = []
+    ok = jnp.asarray(True)
+    segments = jnp.zeros((), jnp.float32)
+    width = n
+    for b in range(path_depth):
+        if widths[b] < width:
+            o_, d_, thr, rad, alive, uids_, pos = state
+            # truncation correctness: the previous bounce's exit sort
+            # parked dead rays at the tail, so a tail row that is still
+            # alive means the schedule undershot — flag it
+            ok = ok & ~jnp.any(alive[widths[b]:])
+            retired.append((pos[widths[b]:], rad[widths[b]:]))
+            state = tuple(x[:widths[b]] for x in state)
+            width = widths[b]
+        o_, d_, thr, rad, alive, uids_, pos = state
+        shrink_next = b + 1 < path_depth and widths[b + 1] < width
+        (o_, d_, thr, rad, alive, uids_, pos, segs, _) = _bounce_once(
+            scene, o_, d_, thr, rad, alive, uids_, pos, rng_key,
+            rnglib.SITE_BOUNCE0 + b, max_trace_dist,
+            (sort_rays and b < path_depth - 1) or shrink_next,
+        )
+        segments = segments + segs
+        state = (o_, d_, thr, rad, alive, uids_, pos)
+
+    pos_parts = [state[6]] + [p for p, _ in retired]
+    rad_parts = [state[3]] + [r for _, r in retired]
+    pos_all = jnp.concatenate(pos_parts)
+    rad_all = jnp.concatenate(rad_parts)
+    _, rr, rg, rb = jax.lax.sort(
+        [pos_all, rad_all[:, 0], rad_all[:, 1], rad_all[:, 2]], num_keys=1
+    )
+    return jnp.stack([rr, rg, rb], axis=-1), segments, ok
+
+
 def path_trace_shrink(
     scene: SceneData,
     o: jnp.ndarray,
@@ -591,6 +679,7 @@ def path_trace_shrink(
     max_trace_dist: float,
     shrink_points: tuple = (1, 4),
     min_width: int = 4096,
+    collect_live: list | None = None,
 ):
     """path_trace with host-orchestrated per-bounce dispatch and a
     SHRINKING wavefront: after each bounce the (exit-sorted, dead-last)
@@ -617,6 +706,10 @@ def path_trace_shrink(
     bounce because rays only die. Two points (post-bounce-1 for the
     big first die-off, post-bounce-4 for deep traces) capture most of
     the shrink at two RTTs per chunk.
+
+    collect_live: if a list, the post-bounce alive-count DEVICE scalars
+    are appended (no sync) — the driver fetches them after its first
+    chunk to bake a path_trace_static width schedule for the rest.
     """
     if isinstance(rng_key, int):
         rng_key = threefry.key_words(rng_key)  # _bounce_once is jitted
@@ -659,6 +752,8 @@ def path_trace_shrink(
         )
         segments = segments + segs
         state = (o_, d_, thr, rad, alive, uids_, pos)
+        if collect_live is not None:
+            collect_live.append(n_alive)
         if shrink_here:
             count = int(n_alive)  # host round-trip: picks the bucket
             if count == 0:

@@ -1,0 +1,97 @@
+"""Static-width fused staged executor (integrator.path_trace_static +
+driver schedule building): bit-identical to path_trace/path_trace_shrink
+when the schedule holds, ok=False when a truncation clips a live ray,
+and the driver-level schedule-measure/violation-replay loop produces
+bit-identical images."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cs397raytracingsp22_tpu.render import integrator
+from cs397raytracingsp22_tpu.render.driver import (
+    _build_width_schedule,
+    render_to_image,
+)
+from tests.test_shrink import textured_scene
+
+
+def _rays(n=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-2, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    return o, d, jnp.arange(n, dtype=jnp.int32)
+
+
+def test_static_full_width_matches_path_trace():
+    data = textured_scene().compile()
+    o, d, uids = _rays()
+    rad_ref, segs_ref = integrator.path_trace(
+        data, o, d, uids, 7, 6, max_trace_dist=100.0
+    )
+    rad_s, segs_s, ok = integrator.path_trace_static(
+        data, o, d, uids, 7, 6, max_trace_dist=100.0, widths=(1024,) * 6
+    )
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(rad_ref), np.asarray(rad_s))
+    assert float(segs_ref) == float(segs_s)
+
+
+def test_static_measured_schedule_matches(monkeypatch):
+    # exit sorts park dead rays at the tail (forced on CPU via RT_SORT)
+    monkeypatch.setenv("RT_SORT", "1")
+    data = textured_scene().compile()
+    o, d, uids = _rays()
+    live: list = []
+    rad_ref, segs_ref = integrator.path_trace_shrink(
+        data, o, d, uids, 7, 6, max_trace_dist=100.0, min_width=64,
+        collect_live=live,
+    )
+    widths = _build_width_schedule(
+        1024, [int(x) for x in live], 6, margin=1.5, min_width=64
+    )
+    assert widths[0] == 1024 and widths[-1] < 1024  # schedule does shrink
+    rad_s, segs_s, ok = integrator.path_trace_static(
+        data, o, d, uids, 7, 6, max_trace_dist=100.0, widths=widths
+    )
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(rad_ref), np.asarray(rad_s))
+    assert float(segs_ref) == float(segs_s)
+
+
+def test_static_violation_flag(monkeypatch):
+    # a schedule far below the live count must raise ok=False
+    monkeypatch.setenv("RT_SORT", "1")
+    data = textured_scene().compile()
+    o, d, uids = _rays()
+    widths = (1024,) + (4,) * 5
+    _, _, ok = integrator.path_trace_static(
+        data, o, d, uids, 7, 6, max_trace_dist=100.0, widths=widths
+    )
+    assert not bool(ok)
+
+
+def test_driver_static_bit_identical(monkeypatch):
+    """Driver end-to-end: static-schedule executor (default) vs the
+    shrink executor vs the pure-jnp path — all bit-identical. Several
+    pixel chunks so the baked schedule is actually reused."""
+    scene = textured_scene()
+    monkeypatch.setenv("RT_PALLAS", "1")
+    monkeypatch.setenv("RT_SHRINK", "1")
+    monkeypatch.setenv("RT_STATIC", "0")
+    img_shrink, _ = render_to_image(
+        scene, seed=3, verbose=False, pixel_chunk=64
+    )
+    monkeypatch.setenv("RT_STATIC", "1")
+    # margin 1.0 + a tiny min width: the schedule truncates for real,
+    # and later chunks can undershoot it — exercising the violation-
+    # replay path as well as the happy path
+    monkeypatch.setenv("RT_STATIC_MARGIN", "1.0")
+    monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "16")
+    img_static, _ = render_to_image(
+        scene, seed=3, verbose=False, pixel_chunk=64
+    )
+    np.testing.assert_array_equal(img_shrink, img_static)
+    monkeypatch.delenv("RT_PALLAS")
+    img_jnp, _ = render_to_image(scene, seed=3, verbose=False)
+    np.testing.assert_array_equal(img_jnp, img_static)
