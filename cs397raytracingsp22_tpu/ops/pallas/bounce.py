@@ -1018,7 +1018,6 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             bz = us[2] - 0.5
         else:
             zb = 2.0 * us[0] - 1.0
-            phi = TWO_PI * us[1]
             if "cbrt" in _probe():
                 # diagnostic: cube root → linear (isolates the exp+log
                 # share of the ball budget from sin/cos/sqrt)
@@ -1032,11 +1031,19 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 cphi = us[1] - 0.5
                 sphi = 0.5 - us[1]
             else:
-                cphi = jnp.cos(phi)
-                sphi = jnp.sin(phi)
+                # THE sampling.sincos_2pi function (pure jnp ops — legal
+                # inside the kernel): quadrant-reduced minimax pair, ~27
+                # single-cycle ops vs two multi-cycle transcendental
+                # instructions (the sin+cos pair measured 1.1% of the
+                # whole dispatch — BASELINE.md round-4 attribution).
+                # Sharing the function makes kernel↔jnp bit-identity
+                # hold by construction.
+                from cs397raytracingsp22_tpu.utils import sampling as _smp
+
+                cphi, sphi = _smp.sincos_2pi(us[1])
             sb = jnp.sqrt(jnp.maximum(1.0 - zb * zb, 0.0))
-            bx = rad_b_ * sb * cphi
-            by = rad_b_ * sb * sphi
+            bx = rad_b_ * (sb * cphi)
+            by = rad_b_ * (sb * sphi)
             bz = rad_b_ * zb
         u_choice = us[3]
 

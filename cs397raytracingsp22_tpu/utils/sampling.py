@@ -53,6 +53,57 @@ def disk_vec(key: jax.Array, shape: tuple[int, ...]) -> jnp.ndarray:
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), zeros], axis=-1)
 
 
+def sincos_2pi(u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos 2πu, sin 2πu) for u in [0, 1): quadrant reduction + the
+    Cephes f32 minimax polynomials (~1 ulp on the reduced range).
+
+    ~27 single-cycle VPU ops replacing two multi-cycle transcendental
+    instructions — the per-bounce sin+cos pair measured 1.1% of the
+    whole north-star dispatch (BASELINE.md round-4 attribution), and the
+    polynomial pair is also what the mega-bounce kernel mirrors
+    op-for-op (ops/pallas/bounce.py), keeping kernel↔jnp bit-identity.
+    The circle distribution is as uniform as the libm pair it replaces
+    (both are ≲1 ulp approximations of the exact map).
+    """
+    y = u * 4.0
+    k = jnp.round(y)
+    theta = (y - k) * jnp.float32(1.5707963267948966)
+    z = theta * theta
+    s = theta * (
+        1.0
+        + z
+        * (
+            jnp.float32(-1.6666654611e-1)
+            + z
+            * (
+                jnp.float32(8.3321608736e-3)
+                + z * jnp.float32(-1.9515295891e-4)
+            )
+        )
+    )
+    c = (
+        1.0
+        - 0.5 * z
+        + (z * z)
+        * (
+            jnp.float32(4.166664568298827e-2)
+            + z
+            * (
+                jnp.float32(-1.388731625493765e-3)
+                + z * jnp.float32(2.443315711809948e-5)
+            )
+        )
+    )
+    ki = k.astype(jnp.int32)
+    swap = (ki & 1) == 1
+    neg = (ki & 2) == 2
+    cos_out = jnp.where(swap, -s, c)
+    sin_out = jnp.where(swap, c, s)
+    cos_out = jnp.where(neg, -cos_out, cos_out)
+    sin_out = jnp.where(neg, -sin_out, sin_out)
+    return cos_out, sin_out
+
+
 def ball_vec_from_uniform(u: jnp.ndarray) -> jnp.ndarray:
     """Map (..., 3) uniforms in [0,1) to uniform unit-ball vectors.
 
@@ -60,12 +111,10 @@ def ball_vec_from_uniform(u: jnp.ndarray) -> jnp.ndarray:
     batched call per bounce).
     """
     z = 2.0 * u[..., 0] - 1.0
-    phi = TWO_PI * u[..., 1]
+    cphi, sphi = sincos_2pi(u[..., 1])
     r = u[..., 2] ** (1.0 / 3.0)
     s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    return r[..., None] * jnp.stack(
-        [s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1
-    )
+    return r[..., None] * jnp.stack([s * cphi, s * sphi, z], axis=-1)
 
 
 def disk_vec_from_uniform(u: jnp.ndarray) -> jnp.ndarray:
