@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import os
 import time
 from typing import Optional
@@ -200,11 +201,15 @@ def _build_width_schedule(n, live_counts, depth, margin, min_width=4096):
     widths[0] = n."""
     widths = [n]
     for b in range(1, depth):
-        need = (
-            int(live_counts[b - 1] * margin)
-            if b - 1 < len(live_counts)
-            else 0
-        )
+        if b - 1 < len(live_counts):
+            scaled = live_counts[b - 1] * margin
+            # margin is finite by the sync() widening cap, but guard the
+            # 0·inf=NaN corner anyway (a measured-zero bounce cannot be
+            # widened multiplicatively — that case falls back to the
+            # shrink executor via staged_state["disabled"])
+            need = int(scaled) if math.isfinite(scaled) else n
+        else:
+            need = 0
         w = n
         while w // 2 >= max(need, min_width):
             w //= 2
@@ -237,6 +242,7 @@ def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
     )
     use_static = (
         staged_state is not None
+        and not staged_state.get("disabled", False)
         and not camera.nee
         and os.environ.get("RT_STATIC", "1") == "1"
     )
@@ -702,13 +708,26 @@ def render_to_image(
             # schedule undershot for these ray counts: widen the margin,
             # drop the schedules (the next dispatch per shape
             # re-measures), and rebuild the window exactly. Loops until
-            # a replay reports no violations — the margin doubles each
-            # round, so the schedule monotonically approaches
-            # full-width (where ok is unconditionally True).
+            # a replay reports no violations. Margin doubling cannot
+            # widen a bounce whose MEASURED live count was zero
+            # (0 × margin = 0), so persistent violations are capped:
+            # past RT_STATIC_MAX_MARGIN the static executor is disabled
+            # for this render and the replay runs the always-correct
+            # shrink executor instead.
             staged_state["margin"] *= 2.0
+            if staged_state["margin"] > float(
+                os.environ.get("RT_STATIC_MAX_MARGIN", "16")
+            ):
+                staged_state["disabled"] = True
+                if verbose:
+                    print(
+                        "\n[render] static width schedule keeps "
+                        "undershooting; falling back to the shrink "
+                        "executor for this render"
+                    )
             for n_bad in bad_shapes:
                 staged_state["widths"].pop(n_bad, None)
-            if verbose:
+            if verbose and not staged_state.get("disabled", False):
                 print(
                     "\n[render] static width schedule undershot; "
                     f"remeasuring with margin {staged_state['margin']}"

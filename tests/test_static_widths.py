@@ -71,6 +71,44 @@ def test_static_violation_flag(monkeypatch):
     assert not bool(ok)
 
 
+def test_schedule_nonfinite_margin_is_full_width():
+    """0×inf (a measured-zero bounce after runaway margin widening) must
+    not NaN-crash the schedule builder: a non-finite scaled count falls
+    back to full width for that bounce."""
+    w = _build_width_schedule(
+        1024, [512, 0, 3], 5, margin=float("inf"), min_width=16
+    )
+    assert w[0] == 1024
+    assert all(x == 1024 for x in w[1:2])  # 512 * inf -> full width
+    # 0 * inf is NaN -> guarded to full width, not a crash
+    assert w[2] == 1024
+
+
+def test_driver_static_fallback_on_persistent_violation(monkeypatch):
+    """When the width schedule keeps undershooting (margin widening is
+    capped by RT_STATIC_MAX_MARGIN), the driver disables the static
+    executor for the render and the shrink fallback still produces the
+    bit-identical image."""
+    scene = textured_scene()
+    monkeypatch.setenv("RT_PALLAS", "1")
+    monkeypatch.setenv("RT_SHRINK", "1")
+    monkeypatch.setenv("RT_STATIC", "0")
+    img_shrink, _ = render_to_image(
+        scene, seed=5, verbose=False, pixel_chunk=64
+    )
+    monkeypatch.setenv("RT_STATIC", "1")
+    # a deliberately hopeless schedule (margin ~0 truncates everything)
+    # plus a cap below the first doubling: the first violation trips the
+    # disabled flag and the replay must run the shrink executor
+    monkeypatch.setenv("RT_STATIC_MARGIN", "0.001")
+    monkeypatch.setenv("RT_STATIC_MAX_MARGIN", "0.001")
+    monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "16")
+    img_static, _ = render_to_image(
+        scene, seed=5, verbose=False, pixel_chunk=64
+    )
+    np.testing.assert_array_equal(img_shrink, img_static)
+
+
 def test_driver_static_bit_identical(monkeypatch):
     """Driver end-to-end: static-schedule executor (default) vs the
     shrink executor vs the pure-jnp path — all bit-identical. Several
