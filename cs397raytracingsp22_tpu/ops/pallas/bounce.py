@@ -1019,13 +1019,17 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
         else:
             zb = 2.0 * us[0] - 1.0
             if "cbrt" in _probe():
-                # diagnostic: cube root → linear (isolates the exp+log
+                # diagnostic: cube root → linear (isolates the cbrt
                 # share of the ball budget from sin/cos/sqrt)
                 rad_b_ = us[2]
             else:
-                rad_b_ = jnp.exp(
-                    jnp.log(jnp.maximum(us[2], 1e-38)) * (1.0 / 3.0)
-                )
+                # THE sampling.cbrt_fast function (shared with the jnp
+                # sampler — bit-identity by construction): bit-hack
+                # seed + 3 division-free Newton steps, ~21 single-cycle
+                # ops replacing the exp+log multi-cycle pair.
+                from cs397raytracingsp22_tpu.utils import sampling as _smp
+
+                rad_b_ = _smp.cbrt_fast(us[2])
             if "sincos" in _probe():
                 # diagnostic: circle point → linear
                 cphi = us[1] - 0.5
