@@ -88,18 +88,62 @@ def _key_bits() -> tuple[int, int]:
     return 1, 6
 
 
-def _coherence_key(o, d, alive):
-    """Sort key: dead rays last, then a POSITION-MAJOR Morton — p bits
-    per axis of Morton-interleaved origin cell (over the batch's own
-    bounding box), then q bits per axis of direction ((p, q) from
-    _key_bits). Measured on the 32k-sphere big-mesh kernel with
-    realistic secondary rays (sphere-surface and box-wall origin
-    scenarios): position-major beats the old direction-major
-    (dir5<<9|pos3) key 14.6 vs 8.8 and 5.7 vs 3.3 Mrays/s — the
-    piece/superleaf slab culling depends on positional intervals, so
-    blocks must first share an origin region; direction fine-sorts
-    within the cell. The content-keyed RNG (uids travel with the rays)
-    makes any permutation produce bit-identical radiance."""
+def _big_mesh_vis_bits(scene, o, d, max_bits):
+    """Per-ray MISS mask over the big (piece-scanned) meshes: bit i is
+    set iff the ray's slab interval against big mesh i's world-space
+    root AABB is empty — the ray cannot hit that mesh. Used only as the
+    TOP bits of the coherence key: sorting by the mask packs
+    uniform-miss ray blocks, and for those blocks every per-piece slab
+    cull in the big-mesh kernel fails (pieces ⊆ root AABB,
+    tri_scan_big.py), so the block costs n_pieces slab tests instead of
+    a 32k-triangle scan. Pure sort heuristic — any permutation is
+    radiance-bit-identical (content-keyed RNG), so FP edge cases here
+    (0·inf NaNs on boundary-origin axis-parallel rays → conservative
+    false miss) cannot affect the image. Returns None when the scene
+    has no big meshes or no key headroom."""
+    big = [
+        i for i in range(len(scene.meshes))
+        if i not in scene.dense_mesh_ids
+    ][:max_bits]
+    if not big:
+        return None, 0
+    inv = 1.0 / d
+    sel = jnp.asarray(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+        jnp.float32,
+    )
+    vis = jnp.zeros(o.shape[:1], jnp.int32)
+    for bi, mi in enumerate(big):
+        m = scene.meshes[mi]
+        # world AABB of the transformed object-space root AABB
+        # (conservative superset of the mesh)
+        c_obj = m.bounds_min[0] * (1.0 - sel) + m.bounds_max[0] * sel
+        c_w = c_obj @ m.transform[:3, :3].T + m.transform[:3, 3]
+        lo = jnp.min(c_w, axis=0)
+        hi = jnp.max(c_w, axis=0)
+        t0 = (lo - o) * inv
+        t1 = (hi - o) * inv
+        near = jnp.max(jnp.minimum(t0, t1), axis=1)
+        far = jnp.min(jnp.maximum(t0, t1), axis=1)
+        miss = ~((far >= jnp.maximum(near, 0.0)) & (far >= 0.0))
+        vis = vis | (miss.astype(jnp.int32) << bi)
+    return vis, len(big)
+
+
+def _coherence_key(o, d, alive, scene=None):
+    """Sort key: dead rays last, then (for big-mesh scenes) which big
+    meshes the ray can possibly hit (_big_mesh_vis_bits), then a
+    POSITION-MAJOR Morton — p bits per axis of Morton-interleaved
+    origin cell (over the batch's own bounding box), then q bits per
+    axis of direction ((p, q) from _key_bits). Measured on the
+    32k-sphere big-mesh kernel with realistic secondary rays
+    (sphere-surface and box-wall origin scenarios): position-major
+    beats the old direction-major (dir5<<9|pos3) key 14.6 vs 8.8 and
+    5.7 vs 3.3 Mrays/s — the piece/superleaf slab culling depends on
+    positional intervals, so blocks must first share an origin region;
+    direction fine-sorts within the cell. The content-keyed RNG (uids
+    travel with the rays) makes any permutation produce bit-identical
+    radiance."""
     pbits, qbits = _key_bits()
     dn = d * jax.lax.rsqrt(vm.magnitude2(d) + 1e-30)[:, None]
     qd = jnp.clip(
@@ -121,11 +165,16 @@ def _coherence_key(o, d, alive):
     for i in range(pbits):
         for a in range(3):
             pmort = pmort | (((qp[:, a] >> i) & 1) << (3 * i + (2 - a)))
-    return (
-        (~alive).astype(jnp.int32) << 30
-        | pmort << (3 * qbits)
-        | dmort
-    )
+    key = pmort << (3 * qbits) | dmort
+    import os
+
+    if scene is not None and os.environ.get("RT_VIS_BITS", "1") == "1":
+        vis, _ = _big_mesh_vis_bits(
+            scene, o, d, max_bits=30 - 3 * (pbits + qbits)
+        )
+        if vis is not None:
+            key = key | vis << (3 * (pbits + qbits))
+    return (~alive).astype(jnp.int32) << 30 | key
 
 
 def _sort_apply_mode() -> str:
@@ -142,7 +191,8 @@ def _sort_apply_mode() -> str:
     return os.environ.get("RT_SORT_APPLY", "take")
 
 
-def _sort_state(o, d, thr, rad, uids, pos, alive, extra_i=None):
+def _sort_state(o, d, thr, rad, uids, pos, alive, extra_i=None,
+                scene=None):
     """Coherence sort of the full wavefront state (dead rays last, then
     the position-major Morton key): the ONE reordering primitive every
     executor shares — XLA scatter compaction measured 13.8× slower, so
@@ -153,7 +203,7 @@ def _sort_state(o, d, thr, rad, uids, pos, alive, extra_i=None):
     extra_i: optional (N,) int32 rider permuted with the state (the NEE
     executors carry their emission-suppression flag this way); returned
     as the last element when given."""
-    key = _coherence_key(o, d, alive)
+    key = _coherence_key(o, d, alive, scene=scene)
     if _sort_apply_mode() == "take":
         n = key.shape[0]
         _, perm = jax.lax.sort(
@@ -290,7 +340,7 @@ def path_trace(
         o, d, thr, rad, alive, uids, pos, segs = state
         if sort_rays:
             o, d, thr, rad, uids, pos, alive = _sort_state(
-                o, d, thr, rad, uids, pos, alive
+                o, d, thr, rad, uids, pos, alive, scene=scene
             )
         o, d, thr, rad, live_hit, segs_b = _bounce_update(
             scene, o, d, thr, rad, alive, uids, rng_key,
@@ -422,7 +472,7 @@ def path_trace_nee(
     if sort_rays:
         o, d, thr, rad, uids, pos, alive, pn = _sort_state(
             o, d, thr, rad, uids, pos, alive,
-            extra_i=prev_nee.astype(jnp.int32),
+            extra_i=prev_nee.astype(jnp.int32), scene=scene,
         )
         prev_nee = pn > 0
     for depth in range(path_depth):
@@ -458,7 +508,7 @@ def _nee_bounce_once_core(
     if sort_exit:
         o, d, thr, rad, uids, pos, alive, pn = _sort_state(
             o, d, thr, rad, uids, pos, alive,
-            extra_i=prev_nee.astype(jnp.int32),
+            extra_i=prev_nee.astype(jnp.int32), scene=scene,
         )
         prev_nee = pn > 0
     n_alive = jnp.sum(alive.astype(jnp.int32))
@@ -508,7 +558,7 @@ def path_trace_nee_shrink(
     if sort_rays:
         o_, d_, thr_, rad_, uids_, pos_, alive_, pn = _sort_state(
             state[0], state[1], state[2], state[3], state[6], state[7],
-            state[4], extra_i=state[5].astype(jnp.int32),
+            state[4], extra_i=state[5].astype(jnp.int32), scene=scene,
         )
         state = (o_, d_, thr_, rad_, alive_, pn > 0, uids_, pos_)
 
@@ -570,7 +620,7 @@ def _bounce_once_core(
     )
     if sort_exit:
         o, d, thr, rad, uids, pos, alive = _sort_state(
-            o, d, thr, rad, uids, pos, alive
+            o, d, thr, rad, uids, pos, alive, scene=scene
         )
     n_alive = jnp.sum(alive.astype(jnp.int32))
     return o, d, thr, rad, alive, uids, pos, segs, n_alive
@@ -631,7 +681,7 @@ def path_trace_static(
     if sort_rays:
         o_, d_, thr_, rad_, uids_, pos_, alive_ = _sort_state(
             state[0], state[1], state[2], state[3],
-            state[5], state[6], state[4],
+            state[5], state[6], state[4], scene=scene,
         )
         state = (o_, d_, thr_, rad_, alive_, uids_, pos_)
 
@@ -728,7 +778,7 @@ def path_trace_shrink(
         # kernels), matching path_trace's per-bounce entry sort
         o_, d_, thr_, rad_, uids_, pos_, alive_ = _sort_state(
             state[0], state[1], state[2], state[3],
-            state[5], state[6], state[4],
+            state[5], state[6], state[4], scene=scene,
         )
         state = (o_, d_, thr_, rad_, alive_, uids_, pos_)
 

@@ -152,3 +152,47 @@ def test_sort_apply_take_matches_multi_operand_sort(monkeypatch):
     assert out[4].dtype == ref[4].dtype
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_big_mesh_vis_bits_semantics(tmp_path):
+    """_big_mesh_vis_bits: the miss bit is SET for rays whose slab
+    interval against the big mesh's world AABB is empty and CLEAR for
+    rays aimed at it; the bits land above the position/direction Morton
+    in the coherence key (so miss-blocks pack together and the big-mesh
+    kernel's per-piece cull skips them wholesale); RT_VIS_BITS=0
+    removes them. Pure sort-key semantics — image invariance under the
+    key change is test_sorted_path_trace_bit_identical."""
+    scene = _big_mesh_scene(tmp_path)
+    data = scene.compile()
+    big = [i for i in range(len(data.meshes))
+           if i not in data.dense_mesh_ids]
+    assert big, "fixture must have a big mesh"
+
+    # the blob mesh spans roughly [-1.05, 1.05]^3 at identity transform
+    o = jnp.asarray([[0.0, 0.0, 4.0], [0.0, 0.0, 4.0], [5.0, 0.0, 0.0]],
+                    jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0],   # toward the mesh -> hit
+                     [0.0, 0.0, 1.0],    # away -> miss
+                     [-1.0, 0.0, 0.0]],  # toward from +x -> hit
+                    jnp.float32)
+    vis, nbits = integrator._big_mesh_vis_bits(data, o, d, max_bits=8)
+    assert nbits == len(big)
+    v = np.asarray(vis)
+    assert v[0] & 1 == 0
+    assert v[1] & 1 == 1
+    assert v[2] & 1 == 0
+
+    alive = jnp.ones((3,), bool)
+    key_on = np.asarray(integrator._coherence_key(o, d, alive, scene=data))
+    import os
+    os.environ["RT_VIS_BITS"] = "0"
+    try:
+        key_off = np.asarray(
+            integrator._coherence_key(o, d, alive, scene=data)
+        )
+    finally:
+        del os.environ["RT_VIS_BITS"]
+    pbits, qbits = integrator._key_bits()
+    shift = 3 * (pbits + qbits)
+    np.testing.assert_array_equal(key_on, key_off | (v << shift))
+    assert (key_off >> shift == 0).all()  # vis sits above pos|dir bits
