@@ -43,6 +43,7 @@ def test_textured_scene_disqualified():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_kernel_matches_jnp_integrator(bench_like_scene):
     scene = bench_like_scene
     data = scene.compile()
@@ -73,6 +74,7 @@ def test_kernel_matches_jnp_integrator(bench_like_scene):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_kernel_volume_scene():
     """Volumes (zero-normal hits, free-flight RNG) through the kernel."""
     from cs397raytracingsp22_tpu import (
@@ -111,6 +113,7 @@ def test_kernel_volume_scene():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_wavefront_matches_full_kernel(bench_like_scene):
     """Per-bounce wavefront with compaction must produce the same image
     as the full-loop kernel and the jnp integrator (identical RNG per
@@ -147,6 +150,7 @@ def test_wavefront_matches_full_kernel(bench_like_scene):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_keycmp_unsigned_matches_signed(bench_like_scene, monkeypatch):
     """RT_KEYCMP=u (unsigned min over key patterns) must
     pick bit-identical winners vs =s (the signed INT32_MAX select
@@ -189,6 +193,7 @@ def test_auto_block_rows_schedule():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_kernel_middle_tier_dense_mesh():
     """A >2048-tri dense mesh (the raised DENSE_MESH_MAX_TRIS middle
     tier) through the mega kernel: exercises the auto 32-row block path

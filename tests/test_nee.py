@@ -95,6 +95,7 @@ def _paired_radiance(n_px=24, spp=256, depth=4):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_nee_same_mean_lower_variance():
     plain, neer = _paired_radiance()
     pm = plain.mean(axis=1)
@@ -139,6 +140,7 @@ def _small_light_scene(spp, radius=0.08):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_nee_small_light_mean_and_collapse():
     """A small out-of-frame sphere light over a lambertian floor: plain
     paths rarely find it (spiky variance); NEE must (a) converge to the
@@ -180,6 +182,7 @@ def test_nee_small_light_mean_and_collapse():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_nee_parameterized_material_mean_parity():
     """NEE on a ParameterizedMaterial floor (roughness 0.5, metallic
     0.3): the diffuse lobe NEEs with f = (3/4-ball)·albedo/π and the
@@ -233,6 +236,7 @@ def test_nee_parameterized_material_mean_parity():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_nee_fog_and_reach_parity():
     """direct_light at a vertex behind a participating medium, with and
     without a binding max_trace_dist, must match the plain estimator's

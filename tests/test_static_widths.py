@@ -84,18 +84,31 @@ def test_schedule_nonfinite_margin_is_full_width():
     assert w[2] == 1024
 
 
+_SHRINK_IMG: dict = {}
+
+
+def _shrink_reference_image(monkeypatch):
+    """Module-memoized seed-3 shrink-executor render: the comparison
+    baseline both driver-level tests share (one XLA-CPU compile+render
+    instead of two; shrink-vs-jnp identity itself is covered by
+    test_shrink.test_driver_shrink_bit_identical)."""
+    if "img" not in _SHRINK_IMG:
+        monkeypatch.setenv("RT_STATIC", "0")
+        img, _ = render_to_image(
+            textured_scene(), seed=3, verbose=False, pixel_chunk=64
+        )
+        _SHRINK_IMG["img"] = np.asarray(img)
+    return _SHRINK_IMG["img"]
+
+
 def test_driver_static_fallback_on_persistent_violation(monkeypatch):
     """When the width schedule keeps undershooting (margin widening is
     capped by RT_STATIC_MAX_MARGIN), the driver disables the static
     executor for the render and the shrink fallback still produces the
     bit-identical image."""
-    scene = textured_scene()
     monkeypatch.setenv("RT_PALLAS", "1")
     monkeypatch.setenv("RT_SHRINK", "1")
-    monkeypatch.setenv("RT_STATIC", "0")
-    img_shrink, _ = render_to_image(
-        scene, seed=5, verbose=False, pixel_chunk=64
-    )
+    img_shrink = _shrink_reference_image(monkeypatch)
     monkeypatch.setenv("RT_STATIC", "1")
     # a deliberately hopeless schedule (margin ~0 truncates everything)
     # plus a cap below the first doubling: the first violation trips the
@@ -104,22 +117,19 @@ def test_driver_static_fallback_on_persistent_violation(monkeypatch):
     monkeypatch.setenv("RT_STATIC_MAX_MARGIN", "0.001")
     monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "16")
     img_static, _ = render_to_image(
-        scene, seed=5, verbose=False, pixel_chunk=64
+        textured_scene(), seed=3, verbose=False, pixel_chunk=64
     )
     np.testing.assert_array_equal(img_shrink, img_static)
 
 
 def test_driver_static_bit_identical(monkeypatch):
     """Driver end-to-end: static-schedule executor (default) vs the
-    shrink executor vs the pure-jnp path — all bit-identical. Several
-    pixel chunks so the baked schedule is actually reused."""
-    scene = textured_scene()
+    shrink executor — bit-identical (shrink vs the pure-jnp path is
+    covered by test_shrink). Several pixel chunks so the baked schedule
+    is actually reused."""
     monkeypatch.setenv("RT_PALLAS", "1")
     monkeypatch.setenv("RT_SHRINK", "1")
-    monkeypatch.setenv("RT_STATIC", "0")
-    img_shrink, _ = render_to_image(
-        scene, seed=3, verbose=False, pixel_chunk=64
-    )
+    img_shrink = _shrink_reference_image(monkeypatch)
     monkeypatch.setenv("RT_STATIC", "1")
     # margin 1.0 + a tiny min width: the schedule truncates for real,
     # and later chunks can undershoot it — exercising the violation-
@@ -127,9 +137,6 @@ def test_driver_static_bit_identical(monkeypatch):
     monkeypatch.setenv("RT_STATIC_MARGIN", "1.0")
     monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "16")
     img_static, _ = render_to_image(
-        scene, seed=3, verbose=False, pixel_chunk=64
+        textured_scene(), seed=3, verbose=False, pixel_chunk=64
     )
     np.testing.assert_array_equal(img_shrink, img_static)
-    monkeypatch.delenv("RT_PALLAS")
-    img_jnp, _ = render_to_image(scene, seed=3, verbose=False)
-    np.testing.assert_array_equal(img_jnp, img_static)
