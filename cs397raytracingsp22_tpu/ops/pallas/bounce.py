@@ -160,6 +160,14 @@ def _probe() -> frozenset:
       cbrt       ball cube root only → linear (exp+log share)
       sincos     ball circle point only → linear (sin+cos share)
       mresolve   mesh winner resolve → key-decoded t + constant normal
+      mres_t     exact-t re-derive only → key-decoded t (skips the 4
+                 plane-row gathers + the true divide; u,v/normals keep)
+      mres_uv    u,v recompute only → constants (skips the 8 u/v-plane
+                 gather columns)
+      mres_nrm   corner-normal fetch/decode/interp/normal-matrix →
+                 constant world normal
+      ana_res    analytic winner resolve only → constant normal/mat
+                 (keeps the packed analytic scan)
       nobsdf     material switch → hemisphere/lambertian only
       noscan     dense mesh scan + resolve removed entirely
       noanalytic analytic primitive scan + resolve removed
@@ -748,18 +756,31 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 jnp.broadcast_to(mat_g[c][None, :], shape), ai, axis=1
             )
 
-        if n_prim:
+        ana_res_out = "ana_res" in _probe()
+        if n_prim and ana_res_out:
+            # diagnostic: analytic winner resolve knocked out (see
+            # _probe) — scan kept, gathers/normal math replaced
+            a_hit = aidx >= 0
+            mat = izero
+            nx = fzero
+            ny = fzero
+            nz = jnp.where(a_hit, 1.0, 0.0)
+            ff = a_hit.astype(jnp.int32)
+        elif n_prim:
             a_hit = aidx >= 0
             mat = jnp.where(a_hit, prim_col(11).astype(jnp.int32), 0)
+            nx = fzero
+            ny = fzero
+            nz = fzero
+            ff = izero
         else:
             a_hit = None
             mat = izero
-
-        nx = fzero
-        ny = fzero
-        nz = fzero
-        ff = izero
-        if n_prim and not last:
+            nx = fzero
+            ny = fzero
+            nz = fzero
+            ff = izero
+        if n_prim and not last and not ana_res_out:
             vx = prim_col(12)
             vy = prim_col(13)
             vz = prim_col(14)
@@ -887,70 +908,94 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
             # exact winner t from the gathered Baldwin–Weber normal row
             # (one true divide per bounce): hit points never carry the
             # scan's approx-reciprocal or packed-key truncation error.
-            b0w = gather_col(bw_v, 0)
-            b1w = gather_col(bw_v, 1)
-            b2w = gather_col(bw_v, 2)
-            denw = b0w * mdxw + b1w * mdyw + b2w * mdzw
-            numw = gather_col(bw_v, 3) - (
-                b0w * moxw + b1w * moyw + b2w * mozw
-            )
-            t_mesh = numw / jnp.where(denw == 0.0, 1.0, denw)
+            if "mres_t" in _probe():
+                # diagnostic: t decoded from the scan key (see _probe)
+                t_mesh = bcf(key) + tmin_f
+            else:
+                b0w = gather_col(bw_v, 0)
+                b1w = gather_col(bw_v, 1)
+                b2w = gather_col(bw_v, 2)
+                denw = b0w * mdxw + b1w * mdyw + b2w * mdzw
+                numw = gather_col(bw_v, 3) - (
+                    b0w * moxw + b1w * moyw + b2w * mozw
+                )
+                t_mesh = numw / jnp.where(denw == 0.0, 1.0, denw)
             best_t = jnp.where(mesh_won, t_mesh, best_t)
             pxw = moxw + t_mesh * mdxw
             pyw = moyw + t_mesh * mdyw
             pzw = mozw + t_mesh * mdzw
 
-            uu = (gather_col(bw_v, 4) * pxw + gather_col(bw_v, 5) * pyw
-                  + gather_col(bw_v, 6) * pzw + gather_col(bw_v, 7))
-            vv = (gather_col(bw_v, 8) * pxw + gather_col(bw_v, 9) * pyw
-                  + gather_col(bw_v, 10) * pzw + gather_col(bw_v, 11))
+            if "mres_uv" in _probe():
+                # diagnostic: interpolation weights → constants
+                uu = fzero + 0.3
+                vv = fzero + 0.25
+            else:
+                uu = (gather_col(bw_v, 4) * pxw + gather_col(bw_v, 5) * pyw
+                      + gather_col(bw_v, 6) * pzw + gather_col(bw_v, 7))
+                vv = (gather_col(bw_v, 8) * pxw + gather_col(bw_v, 9) * pyw
+                      + gather_col(bw_v, 10) * pzw + gather_col(bw_v, 11))
 
-            # corner normals: 3 packed-int gathers + in-register
-            # octahedral decode. (A round-4 A/B replaced these with 9
-            # f32 gathers of the pre-decoded values — eq count barely
-            # moved and the bench LOST ~1%: Mosaic's per-lane dynamic
-            # gather is multi-cycle, so 6 extra gathers cost more than
-            # 3 decode blocks + 3 rsqrt. Negative result; kept packed.)
-            n0x, n0y, n0z = oct_dec(gather_col(nrm_v, 0))
-            n1x, n1y, n1z = oct_dec(gather_col(nrm_v, 1))
-            n2x, n2y, n2z = oct_dec(gather_col(nrm_v, 2))
-            w = 1.0 - uu - vv
-            inx0 = uu * n1x + vv * n2x + w * n0x
-            iny0 = uu * n1y + vv * n2y + w * n0y
-            inz0 = uu * n1z + vv * n2z + w * n0z
-            inv_len = jax.lax.rsqrt(
-                inx0 * inx0 + iny0 * iny0 + inz0 * inz0 + 1e-30
-            )
-            inx = inx0 * inv_len
-            iny = iny0 * inv_len
-            inz = inz0 * inv_len
+            if "mres_nrm" in _probe():
+                # diagnostic: whole normal pipeline (fetch + decode +
+                # interp + normal matrix) → constant world normal
+                for mi in range(n_mesh):
+                    mask = in_mi_list[mi]
+                    nx = jnp.where(mask, 0.0, nx)
+                    ny = jnp.where(mask, 0.0, ny)
+                    nz = jnp.where(mask, 1.0, nz)
+                    ff = jnp.where(mask, 1, ff)
+            else:
+                # corner normals: 3 packed-int gathers + in-register
+                # octahedral decode. (A round-4 A/B replaced these with
+                # 9 f32 gathers of the pre-decoded values — eq count
+                # barely moved and the bench LOST ~1%: Mosaic's per-lane
+                # dynamic gather is multi-cycle, so 6 extra gathers cost
+                # more than 3 decode blocks + 3 rsqrt. Negative result;
+                # kept packed.)
+                n0x, n0y, n0z = oct_dec(gather_col(nrm_v, 0))
+                n1x, n1y, n1z = oct_dec(gather_col(nrm_v, 1))
+                n2x, n2y, n2z = oct_dec(gather_col(nrm_v, 2))
+                w = 1.0 - uu - vv
+                inx0 = uu * n1x + vv * n2x + w * n0x
+                iny0 = uu * n1y + vv * n2y + w * n0y
+                inz0 = uu * n1z + vv * n2z + w * n0z
+                inv_len = jax.lax.rsqrt(
+                    inx0 * inx0 + iny0 * iny0 + inz0 * inz0 + 1e-30
+                )
+                inx = inx0 * inv_len
+                iny = iny0 * inv_len
+                inz = inz0 * inv_len
 
-            # frontface vs object-space direction, then normal matrix
-            front = (inx * mdxw + iny * mdyw + inz * mdzw) < 0.0
-            sgn = jnp.where(front, 1.0, -1.0)
-            fx = sgn * inx
-            fy = sgn * iny
-            fz = sgn * inz
-            for mi in range(n_mesh):
-                mask = in_mi_list[mi]
-                # normal matrix = inv_transform[:3,:3]^T (cols 12..20)
-                m00 = mesh_xf[mi, 12]
-                m01 = mesh_xf[mi, 13]
-                m02 = mesh_xf[mi, 14]
-                m10 = mesh_xf[mi, 15]
-                m11 = mesh_xf[mi, 16]
-                m12 = mesh_xf[mi, 17]
-                m20 = mesh_xf[mi, 18]
-                m21 = mesh_xf[mi, 19]
-                m22 = mesh_xf[mi, 20]
-                wx = m00 * fx + m01 * fy + m02 * fz
-                wy = m10 * fx + m11 * fy + m12 * fz
-                wz = m20 * fx + m21 * fy + m22 * fz
-                inv_len = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz + 1e-30)
-                nx = jnp.where(mask, wx * inv_len, nx)
-                ny = jnp.where(mask, wy * inv_len, ny)
-                nz = jnp.where(mask, wz * inv_len, nz)
-                ff = jnp.where(mask, front.astype(jnp.int32), ff)
+                # frontface vs object-space direction, then normal
+                # matrix
+                front = (inx * mdxw + iny * mdyw + inz * mdzw) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                fx = sgn * inx
+                fy = sgn * iny
+                fz = sgn * inz
+                for mi in range(n_mesh):
+                    mask = in_mi_list[mi]
+                    # normal matrix = inv_transform[:3,:3]^T (cols
+                    # 12..20)
+                    m00 = mesh_xf[mi, 12]
+                    m01 = mesh_xf[mi, 13]
+                    m02 = mesh_xf[mi, 14]
+                    m10 = mesh_xf[mi, 15]
+                    m11 = mesh_xf[mi, 16]
+                    m12 = mesh_xf[mi, 17]
+                    m20 = mesh_xf[mi, 18]
+                    m21 = mesh_xf[mi, 19]
+                    m22 = mesh_xf[mi, 20]
+                    wx = m00 * fx + m01 * fy + m02 * fz
+                    wy = m10 * fx + m11 * fy + m12 * fz
+                    wz = m20 * fx + m21 * fy + m22 * fz
+                    inv_len = jax.lax.rsqrt(
+                        wx * wx + wy * wy + wz * wz + 1e-30
+                    )
+                    nx = jnp.where(mask, wx * inv_len, nx)
+                    ny = jnp.where(mask, wy * inv_len, ny)
+                    nz = jnp.where(mask, wz * inv_len, nz)
+                    ff = jnp.where(mask, front.astype(jnp.int32), ff)
 
         if n_prim and n_mesh:
             hit_valid = a_hit | mesh_won

@@ -69,12 +69,26 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
     # the existing per-piece slab cull (entry > best) then skips most of
     # the remaining pieces — a traversal-order early-out the plain
     # index-order scan only got by luck.
-    # `order` ships FLAT (n_blocks * n_pieces,): a 2-D (B, P) SMEM array
-    # pads its minor dim to 128 lanes (measured: s32[2048, 6] billed as
-    # 1.0 MB — an SMEM OOM at full-width dispatches), flat stays 4*B*P.
+    # `order` ships FLAT (n_blocks * n_pieces,) with a PER-BLOCK LIVE
+    # COUNT appended at [n_blocks * n_pieces + i]: pieces whose slab
+    # interval is empty for EVERY ray of the block (vs the static
+    # [t_min, t_max] window — a superset of the in-kernel test, which
+    # also clamps by the running best) are sorted to the ORDER TAIL and
+    # their entries REPEAT the last live piece, so the pipeline emitter
+    # sees an unchanged window index and skips the 52KB piece DMA; the
+    # body is skipped via `jj < live`. Bit-identical: a statically-dead
+    # piece fails the in-kernel slab_any too (same jnp.maximum/minimum
+    # NaN propagation, tighter interval), so it could never contribute
+    # a candidate. With the vis-bit coherence sort most blocks are
+    # uniform-miss for most pieces, turning the 2-D grid's piece axis
+    # from n_pieces real scans into `live` scans + free tail steps.
+    # A 2-D (B, P) SMEM array pads its minor dim to 128 lanes (measured:
+    # s32[2048, 6] billed as 1.0 MB — an SMEM OOM at full-width
+    # dispatches), flat stays 4*(B*P+B).
     i = pl.program_id(0)
     jj = pl.program_id(1)
     j = order[i * n_pieces + jj]
+    live = order[order.shape[0] - pl.num_programs(0) + i]
 
     o_x = ox[:]
     o_y = oy[:]
@@ -103,9 +117,6 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
         # (bounce.py packed min-key scan, same contract)
         bk[:] = bci(tmx[:])
         bid[:] = (o_x * 0.0).astype(jnp.int32) - 1
-
-    best_k = bk[:]
-    best_id = bid[:]
 
     inv_dx = 1.0 / d_x
     inv_dy = 1.0 / d_y
@@ -216,18 +227,25 @@ def _kernel(order, piece_box, piece_bw, piece_sl, ox, oy, oz, dx, dy, dz,
     def scan_piece(carry):
         return jax.lax.fori_loop(0, SL_PER_PIECE, sl_body, carry)
 
-    piece_hit = slab_any(
-        piece_box[j, 0], piece_box[j, 1], piece_box[j, 2],
-        piece_box[j, 3], piece_box[j, 4], piece_box[j, 5],
-        bcf(best_k),
-    )
-    best_k, best_id = jax.lax.cond(
-        piece_hit, scan_piece, lambda c: c,
-        (best_k, best_id),
-    )
+    # Steps past the block's live-piece count are no-ops: their window
+    # index repeats the last live piece (no DMA) and the body is
+    # skipped entirely — see the `order` comment above.
+    @pl.when(jj < live)
+    def _step():
+        best_k = bk[:]
+        best_id = bid[:]
+        piece_hit = slab_any(
+            piece_box[j, 0], piece_box[j, 1], piece_box[j, 2],
+            piece_box[j, 3], piece_box[j, 4], piece_box[j, 5],
+            bcf(best_k),
+        )
+        best_k, best_id = jax.lax.cond(
+            piece_hit, scan_piece, lambda c: c,
+            (best_k, best_id),
+        )
 
-    bk[:] = best_k
-    bid[:] = best_id
+        bk[:] = best_k
+        bid[:] = best_id
 
 
 def tri_scan_big_pallas(
@@ -334,7 +352,25 @@ def _tri_scan_big_jit(
             jnp.min(entry.reshape(n_blocks, block), axis=1)
         )
     block_entry = jnp.stack(entries, axis=1)  # (n_blocks, n_pieces)
-    order = jnp.argsort(block_entry, axis=1).astype(jnp.int32).reshape(-1)
+    order = jnp.argsort(block_entry, axis=1).astype(jnp.int32)
+    # Per-block LIVE-piece count: pieces statically dead for the whole
+    # block (empty slab interval for every ray vs the full [t_min,
+    # t_max] window) sort to the tail (entry = +inf); the kernel skips
+    # those steps entirely. Their order entries REPEAT the last live
+    # piece so the window index is unchanged step-to-step and the
+    # pipeline emitter skips the 52KB piece DMA. Bit-identical: the
+    # in-kernel slab_any uses the same interval arithmetic with a
+    # tighter (best-clamped) window, so a statically-dead piece could
+    # never contribute a candidate anyway.
+    live = jnp.sum(jnp.isfinite(block_entry), axis=1).astype(jnp.int32)
+    last_live = jnp.take_along_axis(
+        order, jnp.maximum(live - 1, 0)[:, None], axis=1
+    )
+    cols = jnp.arange(n_pieces, dtype=jnp.int32)[None, :]
+    order = jnp.where(
+        cols < jnp.maximum(live, 1)[:, None], order, last_live
+    )
+    order = jnp.concatenate([order.reshape(-1), live])
 
     ishape = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.int32)
     kernel = functools.partial(

@@ -26,6 +26,10 @@ MODES = [
     ("rng", "rng"),
     ("ball", "ball"),
     ("mresolve", "mresolve"),
+    ("mres_t", "mres_t"),
+    ("mres_uv", "mres_uv"),
+    ("mres_nrm", "mres_nrm"),
+    ("ana_res", "ana_res"),
     ("nobsdf", "nobsdf"),
     ("noanalytic", "noanalytic"),
     ("noscan", "noscan"),
@@ -68,8 +72,14 @@ def main():
     if "--one" in sys.argv:
         measure_one()
         return
+    # optional positional args: subset of mode names to run (base is
+    # always run first for the delta)
+    want = [a for a in sys.argv[1:] if not a.startswith("-")]
+    modes = MODES
+    if want:
+        modes = [("base", "")] + [m for m in MODES if m[0] in want and m[0] != "base"]
     results = {}
-    for name, probe in MODES:
+    for name, probe in modes:
         env = dict(os.environ)
         env["RT_PROBE"] = probe
         if name == "recip1":
