@@ -184,21 +184,31 @@ def _pixel_sum(radiance, n_px, per_px):
     return jnp.sum(radiance.reshape(n_px, per_px, 3), axis=1)
 
 
-_path_trace_static_jit = jax.jit(
-    integrator.path_trace_static,
-    static_argnames=("path_depth", "max_trace_dist", "widths"),
-)
+# NOTE: path_trace_static is deliberately NOT wrapped in an outer jit.
+# Its bounce programs (integrator._bounce_once) are jitted per width and
+# shared with the shrink executor, and the host composes them with
+# small cached ops, all dispatched async (no host syncs inside). An
+# outer jit with `widths` static was measured STRICTLY worse on the
+# tunneled TPU: every schedule rebake minted a new ~50 MB whole-render
+# executable (multi-minute compile), and the fused program ran a 262k
+# config-4 chunk in ~220 ms where the eager composition runs it in
+# ~28 ms (XLA scheduling of the giant program pessimizes the Pallas
+# call chain).
 
 
 def _build_width_schedule(n, live_counts, depth, margin, min_width=4096):
-    """Width schedule for path_trace_static from one measured chunk's
-    post-bounce live counts: widths[b] bounds the live count entering
-    bounce b (= live-after-(b-1) measured × margin), rounded up to the
-    next power-of-2 bucket of n (static shapes; all widths live inside
-    ONE compiled program, so finer buckets cost trace size, not extra
-    dispatch compiles — pow2 beat pow4 by keeping bounce 2 off full
-    width on config 4), clamped to [min_width, n], nonincreasing;
-    widths[0] = n."""
+    """Width schedule for path_trace_static from the measured (max-
+    merged) post-bounce live counts: widths[b] bounds the live count
+    entering bounce b (= live-after-(b-1) measured × margin), rounded up
+    to the next POWER-OF-4 bucket of n — exactly the bucket series the
+    shrink executor dispatches (N, N/4, N/16, … ≥ min_width), so the
+    static schedule can NEVER mint a bounce-program shape the shrink
+    path hasn't already compiled. (Round-4 lesson: pow2 buckets saved a
+    few percent of dispatched rays but every schedule rebake could
+    introduce a new width — a fresh multi-minute Mosaic compile on this
+    environment, dwarfing years of the pow2 saving; with the live-piece
+    truncation the over-provision is cheap.) Clamped to [min_width, n],
+    nonincreasing; widths[0] = n."""
     widths = [n]
     for b in range(1, depth):
         if b - 1 < len(live_counts):
@@ -211,8 +221,8 @@ def _build_width_schedule(n, live_counts, depth, margin, min_width=4096):
         else:
             need = 0
         w = n
-        while w // 2 >= max(need, min_width):
-            w //= 2
+        while w // 4 >= max(need, min_width):
+            w //= 4
         widths.append(min(w, widths[-1]))
     return tuple(widths)
 
@@ -261,12 +271,33 @@ def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
                 camera.max_trace_dist, collect_live=live,
             )
             counts = [int(x) for x in live]  # one-time sync per shape
+            # Merge into the RUNNING MAX of live counts across every
+            # measured chunk of this shape: one chunk's counts are a
+            # biased sample (the driver's chunks are contiguous pixel
+            # blocks — a sky-heavy first chunk undershoots chunks over
+            # geometry). A violating chunk is replayed through THIS
+            # branch, so its own counts join the max and the rebaked
+            # schedule covers it; with margin ≥ 1 every violation
+            # strictly grows the max, so a render pays at most one
+            # cheap shrink-replay per record-setting chunk instead of
+            # runaway margin doubling (driver sync() loop).
+            depth = camera.path_depth
+            counts = (counts + [0] * depth)[:depth]
+            prev = staged_state.setdefault("live_max", {}).get(n)
+            if prev is None:
+                merged = counts
+                grew = True
+            else:
+                merged = [max(a, b) for a, b in zip(prev, counts)]
+                grew = merged != prev
+            staged_state["live_max"][n] = merged
+            staged_state.setdefault("grew", {})[n] = grew
             staged_state["widths"][n] = _build_width_schedule(
-                n, counts, camera.path_depth, staged_state["margin"],
+                n, merged, depth, staged_state["margin"],
                 min_width=int(os.environ.get("RT_STATIC_MIN_WIDTH", "4096")),
             )
         else:
-            radiance, segments, ok = _path_trace_static_jit(
+            radiance, segments, ok = integrator.path_trace_static(
                 scene, o, d, uids, rng_key,
                 path_depth=camera.path_depth,
                 max_trace_dist=camera.max_trace_dist, widths=widths,
@@ -287,12 +318,19 @@ def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
 _accum_add = jax.jit(lambda a, b: a + b)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _finalize_image(pieces, n_px, spp, gamma):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _finalize_image(pieces, n_px, spp, gamma, interleave=False):
     """On-device epilogue: mean + channel-bleed + gamma + u8 quantize.
     Only the quantized image crosses the device→host link (786 KB at
-    512² vs 3 MB f32). Module-level jit: cached across renders."""
-    mean = jnp.concatenate(pieces, axis=0)[:n_px] / jnp.float32(max(spp, 1))
+    512² vs 3 MB f32). Module-level jit: cached across renders.
+    interleave: pieces hold strided pixel chunks (piece[ci][j] = pixel
+    ci + nc*j) — de-interleave is a transpose; ragged-tail padding
+    lands past n_px and the slice drops it."""
+    if interleave:
+        full = jnp.stack(pieces).transpose(1, 0, 2).reshape(-1, 3)
+    else:
+        full = jnp.concatenate(pieces, axis=0)
+    mean = full[:n_px] / jnp.float32(max(spp, 1))
     return tonemap_ops.tonemap(mean, gamma)
 
 
@@ -528,8 +566,28 @@ def render_to_image(
     # per dispatch (a 262k-pixel chunk's id upload is 1 MB — measurable
     # on the tunneled TPU). Multi-host keeps the host path: each process
     # donates its addressable slice of a host-built global array.
+    #
+    # Single-host chunks are INTERLEAVED (chunk ci = pixels ci, ci+nc,
+    # ci+2nc, …): contiguous raster chunks have wildly different
+    # per-bounce liveness (sky rows vs geometry), which made the staged
+    # executor's measured width schedule a biased sample — every
+    # record-setting chunk cost a shrink replay. Strided chunks are
+    # statistical clones of the whole image, so one chunk's measure
+    # holds for all (and compute per chunk is uniform). Radiance is
+    # per-pixel content-keyed, so the partition cannot change the image
+    # (chunking bit-invariance tests). De-interleave is a free
+    # transpose: piece[ci][j] holds pixel ci + nc*j, so
+    # stack(pieces).transpose(1,0,2).reshape(-1) is raster order, and
+    # padded ids (>= n_px, from the ragged tail) land at positions
+    # >= n_px where the finalize slice drops them. RT_INTERLEAVE=0
+    # restores raster chunks; multi-host keeps raster (the global-array
+    # donation path).
     ids_dev_full = None
+    interleave = False
     if not multiproc:
+        interleave = (
+            os.environ.get("RT_INTERLEAVE", "1") == "1"
+        )
         ids_dev_full = jnp.arange(n_px_total, dtype=jnp.int32)
 
     def _pull(x, dtype=None):
@@ -628,7 +686,12 @@ def render_to_image(
     pieces: list = [None] * n_pixel_chunks
     if resume_accum is not None:
         for ci in range(n_pixel_chunks):
-            part = resume_accum[ci * pixel_chunk : (ci + 1) * pixel_chunk]
+            if interleave:
+                # checkpoints are raster order; re-split into this run's
+                # strided chunks (layout-independent resume)
+                part = resume_accum[ci::n_pixel_chunks]
+            else:
+                part = resume_accum[ci * pixel_chunk : (ci + 1) * pixel_chunk]
             if part.shape[0] < pixel_chunk:
                 part = np.concatenate(
                     [part, np.zeros((pixel_chunk - part.shape[0], 3), np.float32)]
@@ -705,16 +768,21 @@ def render_to_image(
             bad_shapes = {n for okv, n in oks if not bool(okv)}
             if not bad_shapes:
                 break
-            # schedule undershot for these ray counts: widen the margin,
-            # drop the schedules (the next dispatch per shape
-            # re-measures), and rebuild the window exactly. Loops until
-            # a replay reports no violations. Margin doubling cannot
-            # widen a bounce whose MEASURED live count was zero
-            # (0 × margin = 0), so persistent violations are capped:
-            # past RT_STATIC_MAX_MARGIN the static executor is disabled
-            # for this render and the replay runs the always-correct
-            # shrink executor instead.
-            staged_state["margin"] *= 2.0
+            # schedule undershot for these ray counts: drop the
+            # schedules — the replay re-measures the VIOLATING chunk
+            # itself and max-merges its live counts into the schedule
+            # (render_chunk_staged), so each record-setting chunk costs
+            # one shrink-replay and the rebaked schedule covers it.
+            # Margin doubling is the backstop for violations that recur
+            # WITHOUT live-max growth (only possible with margin < 1,
+            # e.g. test-forced): past RT_STATIC_MAX_MARGIN the static
+            # executor is disabled for this render and the replay runs
+            # the always-correct shrink executor instead.
+            if any(
+                not staged_state.get("grew", {}).get(n_bad, False)
+                for n_bad in bad_shapes
+            ):
+                staged_state["margin"] *= 2.0
             if staged_state["margin"] > float(
                 os.environ.get("RT_STATIC_MAX_MARGIN", "16")
             ):
@@ -768,9 +836,20 @@ def render_to_image(
     for s0 in range(spp_done, spp, spp_chunk):
         s_count = min(spp_chunk, spp - s0)
         for ci in range(n_pixel_chunks):
-            lo = ci * pixel_chunk
-            n_valid = min(pixel_chunk, n_px_total - lo)
-            if ids_dev_full is not None:
+            if interleave:
+                # chunk ci = pixels ci, ci+nc, … (see the interleave
+                # comment above); ids >= n_px are ragged-tail padding
+                # whose contributions the finalize slice drops
+                n_valid = -(-(n_px_total - ci) // n_pixel_chunks)
+                ids = (
+                    jnp.arange(pixel_chunk, dtype=jnp.int32)
+                    * jnp.int32(n_pixel_chunks)
+                    + jnp.int32(ci)
+                )
+                args = (ids, jnp.int32(s0), s_count)
+            elif ids_dev_full is not None:
+                lo = ci * pixel_chunk
+                n_valid = min(pixel_chunk, n_px_total - lo)
                 ids = ids_dev_full[lo : lo + n_valid]
                 if n_valid < pixel_chunk:  # pad to static shape, on device
                     ids = jnp.concatenate(
@@ -778,6 +857,8 @@ def render_to_image(
                     )
                 args = (ids, jnp.int32(s0), s_count)
             else:
+                lo = ci * pixel_chunk
+                n_valid = min(pixel_chunk, n_px_total - lo)
                 ids = all_pixel_ids[lo : lo + n_valid]
                 if n_valid < pixel_chunk:
                     ids = np.concatenate(
@@ -804,9 +885,18 @@ def render_to_image(
             # the accumulator must be complete for this spp chunk before
             # it is persisted (one f64 host pull per checkpoint)
             sync()
-            host = np.concatenate(
-                [_pull(p, np.float64) for p in pieces]
-            )[:n_px_total]
+            host_pieces = [_pull(p, np.float64) for p in pieces]
+            if interleave:
+                # de-interleave to raster order: checkpoints stay
+                # layout-independent (resume re-splits for the resuming
+                # run's own chunking)
+                host = (
+                    np.stack(host_pieces)
+                    .transpose(1, 0, 2)
+                    .reshape(-1, 3)[:n_px_total]
+                )
+            else:
+                host = np.concatenate(host_pieces)[:n_px_total]
             if jax.process_index() == 0:
                 np.savez(
                     checkpoint_path,
@@ -830,7 +920,7 @@ def render_to_image(
     )
 
     img = _pull(
-        _finalize_image(tuple(pieces), n_px_total, spp, cam.gamma)
+        _finalize_image(tuple(pieces), n_px_total, spp, cam.gamma, interleave)
     ).reshape(h, w, 3)
     stats.wall_seconds = time.perf_counter() - t_start
     if verbose:
