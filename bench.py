@@ -167,16 +167,43 @@ def main():
     total_segments = float(sum(float(s) for s in seg_list))
 
     mrays = total_segments / wall / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays_per_sec_per_chip_cornell_teapot",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 500.0, 3),
-            }
-        )
-    )
+
+    # North-star metric 2 (BASELINE.json names BOTH "Mrays/sec/chip +
+    # time-to-64spp"): wall time to 64 spp on Cornell 512², full driver
+    # path, steady-state best-of-2 after a warm run. The CPU comparison
+    # divisor is the measured native C++ multithreaded baseline
+    # (BASELINE.md: ~96 Mrays/s on a 16-core extrapolation → 1.74 s to
+    # 64 spp). Guarded: the headline metric prints even if this leg
+    # fails.
+    t64 = None
+    t64_vs_cpu = None
+    if os.environ.get("BENCH_T64", "1") == "1":
+        try:
+            from scenes import cornell
+            from cs397raytracingsp22_tpu.render.driver import render_to_image
+
+            sc64 = cornell.build(width=512, height=512, spp=64, path_depth=10)
+            d64 = sc64.compile()
+            render_to_image(sc64, seed=0, verbose=False, scene_data=d64)
+            t64 = min(
+                render_to_image(sc64, seed=0, verbose=False,
+                                scene_data=d64)[1].wall_seconds
+                for _ in range(2)
+            )
+            t64_vs_cpu = 1.74 / t64
+        except Exception:
+            pass
+
+    out = {
+        "metric": "Mrays_per_sec_per_chip_cornell_teapot",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 500.0, 3),
+    }
+    if t64 is not None:
+        out["time_to_64spp_cornell512_s"] = round(t64, 4)
+        out["time_to_64spp_vs_cpu_multithreaded"] = round(t64_vs_cpu, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

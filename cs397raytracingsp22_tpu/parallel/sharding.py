@@ -102,6 +102,81 @@ def make_sharded_render_chunk(
     return jax.jit(sharded)
 
 
+def make_sharded_staged_render_chunk(
+    mesh: Mesh, camera: Camera, spp: int, n_chains: int = 1,
+    widths: Optional[tuple] = None,
+):
+    """Sharded chunk renderer through the STAGED static-width executor
+    (integrator.path_trace_static) — the fast path for textured/big-mesh
+    scenes, where full-width per-bounce dispatch pays intersection/
+    resolve/BSDF for dead rays. Each device traces its own ray shard
+    with its own local coherence sort and static truncation schedule;
+    any permutation/truncation of dead rays is radiance-bit-identical
+    (content-keyed RNG), so the sharded image equals the single-device
+    one exactly (tests/test_sharding.py::test_sharded_staged_*).
+
+    widths: the LOCAL per-device width schedule (len == path_depth,
+    widths[0] == local ray count = |pixel_ids|/dp × spp/sp × n_chains).
+    None → MEASURE variant: traces at full width and returns per-bounce
+    live counts pmax'ed over every device — the bound the driver bakes
+    the local schedule from (driver.render_to_image mesh branch).
+
+    Returns fn(scene_data, pixel_ids, base_key, sample_offset) →
+      (radiance_sum, segments, live_max (depth,) int32)   when measuring
+      (radiance_sum, segments, ok)                        with a schedule
+    where `ok` is False iff ANY device's truncation clipped a live ray
+    (psum-combined) — same violation contract as the single-device
+    static executor, handled by the driver's snapshot-replay.
+    """
+    from cs397raytracingsp22_tpu.render import integrator
+    from cs397raytracingsp22_tpu.render.driver import _gen_chunk_rays
+
+    n_sp = mesh.shape["sp"]
+    if spp % n_sp:
+        raise ValueError(f"spp {spp} not divisible by sp axis {n_sp}")
+    spp_local = spp // n_sp
+    depth = camera.path_depth
+
+    def local(scene: SceneData, pixel_ids, base_key, sample_offset):
+        sp_idx = jax.lax.axis_index("sp")
+        local_offset = sample_offset + sp_idx * spp_local
+        o, d, uids = _gen_chunk_rays(
+            camera, pixel_ids, base_key, local_offset, spp_local, n_chains
+        )
+        n_local = o.shape[0]
+        w = widths if widths is not None else (n_local,) * depth
+        live: list = []
+        rad, segs, ok = integrator.path_trace_static(
+            scene, o, d, uids, base_key, depth,
+            camera.max_trace_dist, widths=w,
+            collect_live=live if widths is None else None,
+        )
+        n_px = pixel_ids.shape[0]
+        rad_sum = jnp.sum(
+            rad.reshape(n_px, spp_local * n_chains, 3), axis=1
+        ) / n_chains
+        rad_sum = jax.lax.psum(rad_sum, "sp")
+        segs = jax.lax.psum(segs, ("dp", "sp"))
+        if widths is None:
+            live_max = jax.lax.pmax(
+                jnp.stack([x.astype(jnp.int32) for x in live]),
+                ("dp", "sp"),
+            )
+            return rad_sum, segs, live_max
+        # schedule holds only if it held on EVERY device
+        ok = jax.lax.psum(1 - ok.astype(jnp.int32), ("dp", "sp")) == 0
+        return rad_sum, segs, ok
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P(), P()),
+        out_specs=(P("dp"), P(), P()),
+        **_NO_CHECK,
+    )
+    return jax.jit(sharded)
+
+
 def render_to_image_sharded(
     scene,
     mesh: Mesh,

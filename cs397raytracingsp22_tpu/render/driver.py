@@ -227,6 +227,33 @@ def _build_width_schedule(n, live_counts, depth, margin, min_width=4096):
     return tuple(widths)
 
 
+def _merge_live_schedule(staged_state, n, counts, depth):
+    """Fold one measured chunk's per-bounce live counts into the RUNNING
+    MAX for ray-count `n` and (re)bake its width schedule. One chunk's
+    counts are a biased sample (contiguous pixel blocks — a sky-heavy
+    first chunk undershoots chunks over geometry); a violating chunk is
+    replayed through the measure branch, so its own counts join the max
+    and the rebaked schedule covers it. With margin ≥ 1 every violation
+    strictly grows the max, so a render pays at most one cheap
+    measure-replay per record-setting chunk instead of runaway margin
+    doubling (sync() widens margin only when the max did NOT grow).
+    Shared by the single-device and sharded staged dispatchers."""
+    counts = (list(counts) + [0] * depth)[:depth]
+    prev = staged_state.setdefault("live_max", {}).get(n)
+    if prev is None:
+        merged = counts
+        grew = True
+    else:
+        merged = [max(a, b) for a, b in zip(prev, counts)]
+        grew = merged != prev
+    staged_state["live_max"][n] = merged
+    staged_state.setdefault("grew", {})[n] = grew
+    staged_state["widths"][n] = _build_width_schedule(
+        n, merged, depth, staged_state["margin"],
+        min_width=int(os.environ.get("RT_STATIC_MIN_WIDTH", "4096")),
+    )
+
+
 def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
                         spp, n_chains=1, staged_state=None):
     """Chunk executor for textured/big-mesh scenes on TPU.
@@ -271,30 +298,8 @@ def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
                 camera.max_trace_dist, collect_live=live,
             )
             counts = [int(x) for x in live]  # one-time sync per shape
-            # Merge into the RUNNING MAX of live counts across every
-            # measured chunk of this shape: one chunk's counts are a
-            # biased sample (the driver's chunks are contiguous pixel
-            # blocks — a sky-heavy first chunk undershoots chunks over
-            # geometry). A violating chunk is replayed through THIS
-            # branch, so its own counts join the max and the rebaked
-            # schedule covers it; with margin ≥ 1 every violation
-            # strictly grows the max, so a render pays at most one
-            # cheap shrink-replay per record-setting chunk instead of
-            # runaway margin doubling (driver sync() loop).
-            depth = camera.path_depth
-            counts = (counts + [0] * depth)[:depth]
-            prev = staged_state.setdefault("live_max", {}).get(n)
-            if prev is None:
-                merged = counts
-                grew = True
-            else:
-                merged = [max(a, b) for a, b in zip(prev, counts)]
-                grew = merged != prev
-            staged_state["live_max"][n] = merged
-            staged_state.setdefault("grew", {})[n] = grew
-            staged_state["widths"][n] = _build_width_schedule(
-                n, merged, depth, staged_state["margin"],
-                min_width=int(os.environ.get("RT_STATIC_MIN_WIDTH", "4096")),
+            _merge_live_schedule(
+                staged_state, n, counts, camera.path_depth
             )
         else:
             radiance, segments, ok = integrator.path_trace_static(
@@ -497,7 +502,7 @@ def render_to_image(
             rng_key = _mh.replicate_to_global(mesh, rng_key)
         _sharded_fns: dict = {}
 
-        def _dispatch(ids_dev, s0_dev, s_count):
+        def _plain_dispatch(ids_dev, s0_dev, s_count):
             fn = _sharded_fns.get(s_count)
             if fn is None:
                 fn = _sharding.make_sharded_render_chunk(
@@ -505,6 +510,75 @@ def render_to_image(
                 )
                 _sharded_fns[s_count] = fn
             return fn(scene_data, ids_dev, rng_key, s0_dev)
+
+        from cs397raytracingsp22_tpu.ops.intersect import _use_pallas
+        from cs397raytracingsp22_tpu.ops.pallas import bounce as _bounce_kernel
+
+        # Textured/big-mesh scenes route through the STAGED static-width
+        # executor inside shard_map — same fast path as single-device
+        # (render_chunk_staged), composed per device: local coherence
+        # sort + local width schedule, zero extra collectives beyond the
+        # plain path's psum. Host-orchestrated shrink can't run inside
+        # shard_map (per-bounce int() syncs), so the sharded tier is
+        # static-only: measure at full width (one chunk, collect_live
+        # pmax'ed over devices), bake a LOCAL schedule, then one fused
+        # program per chunk. NEE keeps the traceable path_trace_nee in
+        # render_chunk_core; multi-host keeps the plain path (the
+        # measure sync would have to agree across processes).
+        use_staged_sharded = (
+            cam.shading_mode is not ShadingMode.PHONG
+            and not cam.nee
+            and not multiproc
+            and _use_pallas()
+            and not _bounce_kernel.scene_is_simple(scene_data)
+            and os.environ.get("RT_SHRINK", "1") == "1"
+            and os.environ.get("RT_STATIC", "1") == "1"
+        )
+        if use_staged_sharded:
+            staged_state = {
+                "widths": {},
+                "oks": [],
+                "margin": float(os.environ.get("RT_STATIC_MARGIN", "1.5")),
+            }
+            _staged_fns: dict = {}
+
+            def _staged_fn(s_count, widths_l):
+                fn = _staged_fns.get((s_count, widths_l))
+                if fn is None:
+                    fn = _sharding.make_sharded_staged_render_chunk(
+                        mesh, cam, s_count, n_chains, widths_l
+                    )
+                    _staged_fns[(s_count, widths_l)] = fn
+                return fn
+
+            def _dispatch(ids_dev, s0_dev, s_count):
+                if staged_state.get("disabled", False):
+                    # persistent schedule violations: the always-correct
+                    # full-width sharded path finishes the render
+                    return _plain_dispatch(ids_dev, s0_dev, s_count)
+                n_local = (
+                    (ids_dev.shape[0] // n_dp)
+                    * (s_count // n_sp)
+                    * n_chains
+                )
+                widths_l = staged_state["widths"].get(n_local)
+                if widths_l is None:
+                    rad, segs, live = _staged_fn(s_count, None)(
+                        scene_data, ids_dev, rng_key, s0_dev
+                    )
+                    counts = [int(x) for x in np.asarray(live)]  # sync
+                    _merge_live_schedule(
+                        staged_state, n_local, counts, cam.path_depth
+                    )
+                    return rad, segs
+                rad, segs, ok = _staged_fn(s_count, widths_l)(
+                    scene_data, ids_dev, rng_key, s0_dev
+                )
+                staged_state["oks"].append((ok, n_local))
+                return rad, segs
+
+        else:
+            _dispatch = _plain_dispatch
 
         if multiproc:
             from jax.sharding import PartitionSpec as _P
@@ -680,9 +754,12 @@ def render_to_image(
     n_pixel_chunks = (n_px_total + pixel_chunk - 1) // pixel_chunk
 
     # Device-resident accumulator: one (pixel_chunk, 3) f32 piece per
-    # pixel chunk. The last piece carries padding rows (duplicate pixel
-    # 0) that the finalize slice drops. Chunk dispatch + accumulation is
-    # fully async; sync() is the only place the host waits.
+    # pixel chunk. Ragged-tail padding rows are duplicate pixel 0 under
+    # raster chunking and out-of-range ids (>= n_px_total, traced as
+    # off-screen rays) under the default interleave; either way their
+    # contributions land at positions the finalize/checkpoint slice
+    # drops. Chunk dispatch + accumulation is fully async; sync() is
+    # the only place the host waits.
     pieces: list = [None] * n_pixel_chunks
     if resume_accum is not None:
         for ci in range(n_pixel_chunks):
@@ -769,10 +846,15 @@ def render_to_image(
             if not bad_shapes:
                 break
             # schedule undershot for these ray counts: drop the
-            # schedules — the replay re-measures the VIOLATING chunk
-            # itself and max-merges its live counts into the schedule
-            # (render_chunk_staged), so each record-setting chunk costs
-            # one shrink-replay and the rebaked schedule covers it.
+            # schedules — the replay routes the FIRST pending chunk of
+            # each bad shape through the measure branch, which
+            # max-merges its live counts into the schedule
+            # (_merge_live_schedule). Under the default interleaved
+            # chunking every chunk of a shape is a statistical clone of
+            # the image, so the first-replayed chunk's counts cover the
+            # violator too; if they don't (raster chunking, unlucky
+            # tail), the violation recurs, grew=False, and the margin
+            # doubling below converges it.
             # Margin doubling is the backstop for violations that recur
             # WITHOUT live-max growth (only possible with margin < 1,
             # e.g. test-forced): past RT_STATIC_MAX_MARGIN the static
@@ -790,8 +872,9 @@ def render_to_image(
                 if verbose:
                     print(
                         "\n[render] static width schedule keeps "
-                        "undershooting; falling back to the shrink "
-                        "executor for this render"
+                        "undershooting; falling back to the always-"
+                        "correct executor for this render (shrink "
+                        "single-device, full-width sharded)"
                     )
             for n_bad in bad_shapes:
                 staged_state["widths"].pop(n_bad, None)

@@ -640,6 +640,7 @@ def path_trace_static(
     path_depth: int,
     max_trace_dist: float,
     widths: tuple,
+    collect_live: list | None = None,
 ):
     """path_trace_shrink with a STATIC width schedule: the whole staged
     pipeline traces as ONE program — no per-bounce host dispatch and no
@@ -655,6 +656,12 @@ def path_trace_static(
     widths: len == path_depth, nonincreasing, widths[0] == n, each a
     bound on the live count entering that bounce. Truncated tail rows
     are retired exactly like path_trace_shrink's buckets.
+
+    collect_live: if a list, the post-bounce alive-count scalars are
+    appended (traced values — fully traceable, unlike the shrink
+    executor's host syncs). The sharded staged driver path measures its
+    schedule this way: full-width schedule + collect_live inside
+    shard_map, per-device counts pmax-combined by the caller.
 
     Returns (radiance, segments, ok): `ok` is False iff some truncation
     dropped a ray that was still ALIVE — the schedule was too tight for
@@ -701,13 +708,15 @@ def path_trace_static(
             width = widths[b]
         o_, d_, thr, rad, alive, uids_, pos = state
         shrink_next = b + 1 < path_depth and widths[b + 1] < width
-        (o_, d_, thr, rad, alive, uids_, pos, segs, _) = _bounce_once(
+        (o_, d_, thr, rad, alive, uids_, pos, segs, n_alive) = _bounce_once(
             scene, o_, d_, thr, rad, alive, uids_, pos, rng_key,
             rnglib.SITE_BOUNCE0 + b, max_trace_dist,
             (sort_rays and b < path_depth - 1) or shrink_next,
         )
         segments = segments + segs
         state = (o_, d_, thr, rad, alive, uids_, pos)
+        if collect_live is not None:
+            collect_live.append(n_alive)
 
     pos_parts = [state[6]] + [p for p, _ in retired]
     rad_parts = [state[3]] + [r for _, r in retired]

@@ -172,3 +172,74 @@ def test_resume_misaligned_spp_raises(small_scene, tmp_path):
             scene, seed=4, verbose=False, scene_data=data,
             mesh=mesh, checkpoint_path=ckpt,
         )
+
+
+def test_sharded_staged_static_bit_identical(monkeypatch):
+    """Textured/big-mesh scenes under a device mesh route through the
+    STAGED static-width executor inside shard_map (driver mesh branch →
+    sharding.make_sharded_staged_render_chunk) and the image is
+    bit-identical to the single-device staged render. Spies on the
+    factory to prove the fast path actually ran (round-4 gap: sharded
+    big-mesh renders silently fell back to full-width path_trace)."""
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+    from tests.test_shrink import textured_scene
+
+    monkeypatch.setenv("RT_PALLAS", "1")
+    monkeypatch.setenv("RT_SHRINK", "1")
+    monkeypatch.setenv("RT_STATIC", "1")
+    monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "4")
+
+    scene = textured_scene()
+    img_ref, _ = render_to_image(
+        scene, seed=3, verbose=False, pixel_chunk=64
+    )
+
+    calls = []
+    real_factory = sharding.make_sharded_staged_render_chunk
+
+    def spy(mesh_, camera, spp, n_chains=1, widths=None):
+        calls.append(widths)
+        return real_factory(mesh_, camera, spp, n_chains, widths)
+
+    monkeypatch.setattr(
+        sharding, "make_sharded_staged_render_chunk", spy
+    )
+    mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
+    img_sh, _ = render_to_image(
+        scene, seed=3, verbose=False, pixel_chunk=64, mesh=mesh
+    )
+    np.testing.assert_array_equal(img_ref, img_sh)
+    # one measure build (widths=None) + ≥1 static-schedule build
+    assert None in calls and any(w is not None for w in calls)
+    # the baked schedules are LOCAL widths (64px/4dp × 4spp/2sp × 1
+    # chain = 32 rays/device) that actually shrink for this mostly-sky
+    # scene (most rays die within two bounces)
+    baked = [w for w in calls if w is not None]
+    assert all(w[0] == 32 for w in baked)
+    assert any(w[-1] < w[0] for w in baked)
+
+
+def test_sharded_staged_violation_replay_and_fallback(monkeypatch):
+    """A hopeless width schedule under the sharded staged executor must
+    trip the ok=False flag, hit the driver's margin-cap fallback, and
+    still produce the bit-identical image via the full-width sharded
+    path (the always-correct executor)."""
+    from cs397raytracingsp22_tpu.render.driver import render_to_image
+    from tests.test_shrink import textured_scene
+
+    monkeypatch.setenv("RT_PALLAS", "1")
+    monkeypatch.setenv("RT_SHRINK", "1")
+    monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "4")
+    monkeypatch.setenv("RT_STATIC", "0")
+    scene = textured_scene()
+    img_ref, _ = render_to_image(
+        scene, seed=3, verbose=False, pixel_chunk=64
+    )
+    monkeypatch.setenv("RT_STATIC", "1")
+    monkeypatch.setenv("RT_STATIC_MARGIN", "0.001")
+    monkeypatch.setenv("RT_STATIC_MAX_MARGIN", "0.001")
+    mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
+    img_sh, _ = render_to_image(
+        scene, seed=3, verbose=False, pixel_chunk=64, mesh=mesh
+    )
+    np.testing.assert_array_equal(img_ref, img_sh)

@@ -140,3 +140,87 @@ def test_driver_static_bit_identical(monkeypatch):
         textured_scene(), seed=3, verbose=False, pixel_chunk=64
     )
     np.testing.assert_array_equal(img_shrink, img_static)
+
+
+def test_merge_live_schedule_is_running_max(monkeypatch):
+    """_merge_live_schedule must fold counts into the elementwise
+    RUNNING MAX (driver.py merge path) — replacing the max with the
+    latest counts would let a previously-covered chunk violate again
+    — and must only mint widths from the power-of-4
+    bucket series of n (the shapes the shrink path compiles)."""
+    from cs397raytracingsp22_tpu.render.driver import _merge_live_schedule
+
+    monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "4")
+    st = {"widths": {}, "margin": 1.0}
+    _merge_live_schedule(st, 1024, [512, 100, 10], 4)
+    assert st["grew"][1024] is True
+    assert st["live_max"][1024] == [512, 100, 10, 0]
+
+    # mixed higher/lower counts: max per bounce, not replacement
+    _merge_live_schedule(st, 1024, [300, 200, 5], 4)
+    assert st["live_max"][1024] == [512, 200, 10, 0]
+    assert st["grew"][1024] is True  # bounce-1 max grew
+
+    # strictly lower counts: max unchanged, grew=False (the sync() loop
+    # uses this to tell "schedule was stale" from "margin too small")
+    _merge_live_schedule(st, 1024, [1, 1, 1], 4)
+    assert st["live_max"][1024] == [512, 200, 10, 0]
+    assert st["grew"][1024] is False
+
+    # pow4 bucket series only: every width ∈ {1024, 256, 64, 16, 4},
+    # nonincreasing, widths[0] = n
+    w = st["widths"][1024]
+    assert w[0] == 1024 and len(w) == 4
+    assert all(x in (1024, 256, 64, 16, 4) for x in w)
+    assert all(w[i + 1] <= w[i] for i in range(3))
+
+
+def test_driver_one_measure_replay_per_violation(monkeypatch):
+    """A schedule baked from a lying first measurement must trigger
+    EXACTLY one re-measure (the replay routes the violating window's
+    first chunk through the measure branch, whose honest counts max-
+    merge into the schedule) — not runaway margin doubling — and the
+    final image must still be bit-identical to the shrink executor's."""
+    from cs397raytracingsp22_tpu.render import driver as drv
+    from cs397raytracingsp22_tpu.render import integrator
+
+    monkeypatch.setenv("RT_PALLAS", "1")
+    monkeypatch.setenv("RT_SHRINK", "1")
+    monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "16")
+    img_shrink = _shrink_reference_image(monkeypatch)
+    monkeypatch.setenv("RT_STATIC", "1")
+    monkeypatch.setenv("RT_STATIC_MARGIN", "1.5")
+
+    real_shrink = integrator.path_trace_shrink
+    measure_calls = {"n": 0}
+
+    def lying_shrink(*args, collect_live=None, **kw):
+        out = real_shrink(*args, collect_live=collect_live, **kw)
+        if collect_live is not None:
+            measure_calls["n"] += 1
+            if measure_calls["n"] == 1:
+                # claim everything died instantly: the baked schedule
+                # truncates to min width and every later chunk violates
+                collect_live[:] = [jnp.int32(0)] * len(collect_live)
+        return out
+
+    monkeypatch.setattr(integrator, "path_trace_shrink", lying_shrink)
+
+    merges = []
+    real_merge = drv._merge_live_schedule
+
+    def spy_merge(st, n, counts, depth):
+        real_merge(st, n, counts, depth)
+        merges.append((list(counts), list(st["live_max"][n]), st["grew"][n]))
+
+    monkeypatch.setattr(drv, "_merge_live_schedule", spy_merge)
+
+    img_static, _ = drv.render_to_image(
+        textured_scene(), seed=3, verbose=False, pixel_chunk=64
+    )
+    np.testing.assert_array_equal(img_shrink, img_static)
+    # exactly 2 measures: the lying first one + ONE honest replay
+    assert measure_calls["n"] == 2, measure_calls
+    # the replay's honest counts grew the running max
+    assert merges[-1][2] is True
+    assert any(c > 0 for c in merges[-1][1])

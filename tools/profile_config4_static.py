@@ -58,7 +58,7 @@ def main():
     depth = cam.path_depth
 
     # derive the schedule the driver would bake (first-chunk live counts
-    # x margin, power-of-2 buckets)
+    # x margin, power-of-4 buckets)
     live: list = []
     rad, segs = integrator.path_trace_shrink(
         data, o, d, uids, key, depth, cam.max_trace_dist, collect_live=live
