@@ -137,6 +137,17 @@ def _dense_unroll_default() -> int:
     return int(os.environ.get("RT_DENSE_UNROLL", str(DEFAULT_DENSE_UNROLL)))
 
 
+def _split_scan() -> bool:
+    """RT_SPLIT_SCAN=1: run the incoherent dense scan as TWO independent
+    min-key accumulator chains over alternating 16-tri groups, merged
+    once (earliest-index tie-break → bit-identical winners). A/B knob
+    probing whether the scan's serial select chain is latency-bound;
+    read at trace time like every RT_* kernel knob."""
+    import os
+
+    return os.environ.get("RT_SPLIT_SCAN", "0") == "1"
+
+
 def _num_mode() -> str:
     """RT_NUM: "sub" (default) computes num = b3 - b·mo' with the same
     3 loads as den; "neg" reads the negated-normal cols 12-14 for a pure
@@ -658,6 +669,50 @@ def _build_bounce(counts, t_min, max_dist, sph_f, sph_m, pln_f, pln_m, tri_f,
                 # 16.14M > 16.00M limit) — the partial form keeps
                 # liveness bounded.
                 u = max(1, counts.get("dense_unroll", 1))
+                if _split_scan() and sl_count >= 2:
+                    # A/B knob (RT_SPLIT_SCAN=1): TWO independent
+                    # (key, widx) accumulator chains over alternating
+                    # groups, merged once after the loop. The min-key
+                    # select chain is the scan's only loop-carried
+                    # dependency; splitting halves its latency chain at
+                    # the cost of 2 extra vreg carries + a 4-op merge.
+                    # The merge's widx tie-break reproduces the serial
+                    # chain's earliest-index-wins semantics exactly, so
+                    # winner selection is BIT-IDENTICAL for any
+                    # partition (equal int32 keys = equal t patterns;
+                    # the smaller row index wins, as serial order would).
+                    kA, wA = key, widx
+                    kB, wB = key, widx
+                    n_chunks = sl_count // u
+
+                    if n_chunks > 0:
+                        def chunk_body2(ci, p4, scan16=scan16,
+                                        start=start, u=u):
+                            kA, wA, kB, wB = p4
+                            for k in range(u):
+                                lo = start + (ci * u + k) * 16
+                                if k % 2 == 0:
+                                    kA, wA = scan16((kA, wA), lo)
+                                else:
+                                    kB, wB = scan16((kB, wB), lo)
+                            return kA, wA, kB, wB
+
+                        kA, wA, kB, wB = jax.lax.fori_loop(
+                            0, n_chunks, chunk_body2, (kA, wA, kB, wB)
+                        )
+                    for s in range(n_chunks * u, sl_count):
+                        lo = start + s * 16
+                        if s % 2 == 0:
+                            kA, wA = scan16((kA, wA), lo)
+                        else:
+                            kB, wB = scan16((kB, wB), lo)
+                    if unsigned_key:  # match the scan's compare domain
+                        okB = (bcu(kB) < bcu(kA)) | ((kB == kA) & (wB < wA))
+                    else:
+                        okB = (kB < kA) | ((kB == kA) & (wB < wA))
+                    key = jnp.where(okB, kB, kA)
+                    widx = jnp.where(okB, wB, wA)
+                    continue
                 packed = (key, widx)
                 n_chunks = sl_count // u
 
