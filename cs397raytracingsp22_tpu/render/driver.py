@@ -449,12 +449,18 @@ def render_to_image(
         work_per_px = per_px_rays * max(1, cam.path_depth) * max(16, prim_tests)
         budget = 1 << 36  # ~7e10 ray·prim·bounce units ≈ a few seconds
         if len(scene_data.dense_mesh_ids) < len(scene_data.meshes):
-            # big-mesh scenes run the sorted wavefront, whose
-            # piece/superleaf culling improves with batch size (more
-            # rays per Morton cell → more coherent blocks), and their
-            # effective work is far below the dense product above
-            # thanks to that culling — so allow 4× bigger dispatches
-            budget <<= 2
+            # big-mesh scenes run the STAGED executor, whose per-chunk
+            # cost on this environment's tunneled TPU is dominated by
+            # the ~25-30 ms per-dispatch submission floor (×bounces),
+            # not compute — and whose piece/superleaf culling improves
+            # with batch size (more rays per Morton cell → more
+            # coherent blocks). Measured end-to-end on config 4
+            # (512²·32spp, round 5): 0.26M-ray chunks 1.94 Mrays/s,
+            # 2.1M-ray chunks 4.50, whole-image 8.4M 4.02 — the curve
+            # peaks near 2M rays/chunk, so allow 32× bigger dispatches
+            # than the dense budget (which lands config 4 exactly
+            # there).
+            budget <<= 5
         pixel_chunk = max(1, min(n_px_total, budget // work_per_px))
         # round down to a power of two: the chunk size sets the compiled
         # program's shape, and pow2 sizes collapse the (resolution, spp,

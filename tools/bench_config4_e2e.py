@@ -24,15 +24,17 @@ from cs397raytracingsp22_tpu.render.driver import render_to_image
 
 def main():
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    pc = int(sys.argv[2]) if len(sys.argv) > 2 else None
     scene = textured_spheres.build(width=512, height=512, spp=spp)
     data = scene.compile()
     # cold run: compile + schedule measure
-    img1, st1 = render_to_image(scene, seed=0, verbose=False, scene_data=data)
+    img1, st1 = render_to_image(scene, seed=0, verbose=False,
+                                scene_data=data, pixel_chunk=pc)
     print("cold:", st1.summary(), flush=True)
     best = None
     for i in range(2):
         img, st = render_to_image(scene, seed=0, verbose=False,
-                                  scene_data=data)
+                                  scene_data=data, pixel_chunk=pc)
         rate = st.path_segments / st.wall_seconds / 1e6
         print(
             f"warm{i}: wall {st.wall_seconds:.2f}s  "
