@@ -184,16 +184,19 @@ def _pixel_sum(radiance, n_px, per_px):
     return jnp.sum(radiance.reshape(n_px, per_px, 3), axis=1)
 
 
-# NOTE: path_trace_static is deliberately NOT wrapped in an outer jit.
-# Its bounce programs (integrator._bounce_once) are jitted per width and
-# shared with the shrink executor, and the host composes them with
-# small cached ops, all dispatched async (no host syncs inside). An
-# outer jit with `widths` static was measured STRICTLY worse on the
-# tunneled TPU: every schedule rebake minted a new ~50 MB whole-render
-# executable (multi-minute compile), and the fused program ran a 262k
-# config-4 chunk in ~220 ms where the eager composition runs it in
-# ~28 ms (XLA scheduling of the giant program pessimizes the Pallas
-# call chain).
+# NOTE: path_trace_static defaults to NO outer jit. Its bounce
+# programs (integrator._bounce_once) are jitted per width and shared
+# with the shrink executor, and the host composes them with small
+# cached ops, all dispatched async (no host syncs inside). The
+# size-dependent story, both measured (tools/probe_dispatch_floor.py):
+# at round-4's 262k-ray chunks the whole-chunk jit ran ~8× SLOWER
+# (220 vs 28 ms — XLA scheduling pessimized the Pallas call chain);
+# at the round-5 retuned 2.1M-ray chunk it runs 1.17× FASTER (758.7
+# vs 885.7 ms, bit-identical) because compute dominates and fusion
+# drops the per-bounce dispatch overhead. Fusion stays OPT-IN
+# (RT_STATIC_FUSE=1) because each (n, widths) shape costs a ~120 s
+# Mosaic compile — a loss for one-shot cold renders, a win for
+# steady-state/repeated rendering.
 
 
 def _build_width_schedule(n, live_counts, depth, margin, min_width=4096):
@@ -301,6 +304,24 @@ def render_chunk_staged(scene, camera, pixel_ids, rng_key, sample_offset,
             _merge_live_schedule(
                 staged_state, n, counts, camera.path_depth
             )
+        elif os.environ.get("RT_STATIC_FUSE", "0") == "1":
+            # opt-in whole-chunk jit (see the NOTE above _build_width_
+            # schedule): one device program per chunk instead of one
+            # per bounce — 1.17× at 2.1M-ray chunks, bit-identical,
+            # ~120 s compile per (n, widths) shape
+            cache = staged_state.setdefault("fused", {})
+            fn = cache.get((n, widths))
+            if fn is None:
+                fn = jax.jit(
+                    lambda o_, d_, u_, k_, s=scene, w=widths:
+                    integrator.path_trace_static(
+                        s, o_, d_, u_, k_, camera.path_depth,
+                        camera.max_trace_dist, widths=w,
+                    )
+                )
+                cache[(n, widths)] = fn
+            radiance, segments, ok = fn(o, d, uids, rng_key)
+            staged_state["oks"].append((ok, n))
         else:
             radiance, segments, ok = integrator.path_trace_static(
                 scene, o, d, uids, rng_key,

@@ -224,3 +224,20 @@ def test_driver_one_measure_replay_per_violation(monkeypatch):
     # the replay's honest counts grew the running max
     assert merges[-1][2] is True
     assert any(c > 0 for c in merges[-1][1])
+
+
+def test_driver_static_fused_bit_identical(monkeypatch):
+    """RT_STATIC_FUSE=1 (whole-chunk jit around path_trace_static) must
+    produce the bit-identical image to the eager staged composition —
+    same programs, one outer jit."""
+    monkeypatch.setenv("RT_PALLAS", "1")
+    monkeypatch.setenv("RT_SHRINK", "1")
+    monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "16")
+    img_shrink = _shrink_reference_image(monkeypatch)
+    monkeypatch.setenv("RT_STATIC", "1")
+    monkeypatch.setenv("RT_STATIC_MARGIN", "1.5")
+    monkeypatch.setenv("RT_STATIC_FUSE", "1")
+    img_fused, _ = render_to_image(
+        textured_scene(), seed=3, verbose=False, pixel_chunk=64
+    )
+    np.testing.assert_array_equal(img_shrink, img_fused)
