@@ -177,18 +177,29 @@ def _coherence_key(o, d, alive, scene=None):
     return (~alive).astype(jnp.int32) << 30 | key
 
 
-def _sort_apply_mode() -> str:
-    """How the coherence permutation is APPLIED to the wavefront state:
-    "take" (default) sorts only (key, iota) and applies the permutation
-    with two row gathers — the bitonic sort network moves 2 operands
-    through its O(log² n) compare-exchange passes instead of 16, and the
-    payload crosses HBM exactly once; "sort" restores the original
-    16-operand multi-operand lax.sort. Both are the same permutation
+def _sort_apply_mode(n: int) -> str:
+    """How the coherence permutation is APPLIED to the wavefront state —
+    WIDTH-DEPENDENT (measured 2026-08-21 on v5e, random keys):
+
+      | n | 16-operand lax.sort | take (sort key+iota, 2 row gathers) |
+      |---|---|---|
+      | 2,097,152 | **28.3 ms** | 63.8 ms |
+      | 524,288 | 11.1 ms | **11.0 ms** (8.3 transposed) |
+
+    XLA's row gather is random-access DMA (~4 GB/s effective at 2M
+    rows) while the bitonic network streams contiguously, so above ~1M
+    rows moving all 16 operands through the O(log² n) passes beats
+    gathering the payload once; below, the gather's single pass wins
+    (the round-3 A/B that made "take" the default was measured at the
+    dense bench's 262k chunks). Both modes apply the SAME permutation
     (lax.sort is stable, iota breaks ties identically) → bit-identical
-    images. RT_SORT_APPLY overrides for A/B."""
+    images. RT_SORT_APPLY=take|sort still forces one mode for A/B."""
     import os
 
-    return os.environ.get("RT_SORT_APPLY", "take")
+    env = os.environ.get("RT_SORT_APPLY")
+    if env is not None:
+        return env
+    return "sort" if n >= (1 << 20) else "take"
 
 
 def _sort_state(o, d, thr, rad, uids, pos, alive, extra_i=None,
@@ -204,7 +215,7 @@ def _sort_state(o, d, thr, rad, uids, pos, alive, extra_i=None,
     executors carry their emission-suppression flag this way); returned
     as the last element when given."""
     key = _coherence_key(o, d, alive, scene=scene)
-    if _sort_apply_mode() == "take":
+    if _sort_apply_mode(int(key.shape[0])) == "take":
         n = key.shape[0]
         _, perm = jax.lax.sort(
             [key, jnp.arange(n, dtype=jnp.int32)], num_keys=1
