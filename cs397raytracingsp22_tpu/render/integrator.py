@@ -274,19 +274,40 @@ def _sort_state(o, d, thr, rad, uids, pos, alive, extra_i=None,
 # line in the staged chunk. Bit-identical by construction (same ops).
 _sort_state_jit = jax.jit(_sort_state)
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _truncate_retire(state, w, pos_idx, rad_idx, alive_idx):
+    """Truncate the wavefront state tuple to width w, returning the
+    retired (pos, rad) tail and whether any clipped row was still
+    ALIVE (the static schedule's violation flag) — as ONE device
+    program instead of ~10 eager slice dispatches (each ~2-3 ms on
+    this environment's tunneled TPU)."""
+    clipped = jnp.any(state[alive_idx][w:])
+    return (tuple(x[:w] for x in state), state[pos_idx][w:],
+            state[rad_idx][w:], clipped)
+
 
 @jax.jit
-def _unsort_radiance(pos_parts, rad_parts):
-    """Reassemble retired pieces + restore caller order (the closing
-    pos-keyed sort shared by the shrink/static executors), as ONE
-    device program."""
+def _finish_unsort(pos_parts, rad_parts, segs_parts, clip_flags):
+    """Closing epilogue of the host-orchestrated executors as ONE
+    device program: reassemble retired pieces, restore caller order
+    (pos-keyed sort), sum the per-bounce segment counts, and combine
+    the truncation violation flags (ok=True when clip_flags is
+    empty — the shrink executors never clip live rays)."""
     pos_all = jnp.concatenate(list(pos_parts))
     rad_all = jnp.concatenate(list(rad_parts))
     _, rr, rg, rb = jax.lax.sort(
         [pos_all, rad_all[:, 0], rad_all[:, 1], rad_all[:, 2]],
         num_keys=1,
     )
-    return jnp.stack([rr, rg, rb], axis=-1)
+    segments = jnp.sum(jnp.stack(list(segs_parts)))
+    if clip_flags:
+        ok = ~jnp.any(jnp.stack(list(clip_flags)))
+    else:
+        ok = jnp.asarray(True)
+    return jnp.stack([rr, rg, rb], axis=-1), segments, ok
 
 
 def _bounce_update(scene, o, d, thr, rad, alive, uids, rng_key, site,
@@ -597,7 +618,7 @@ def path_trace_nee_shrink(
         state = (o_, d_, thr_, rad_, alive_, pn > 0, uids_, pos_)
 
     retired: list = []
-    segments = jnp.zeros((), jnp.float32)
+    segs_list: list = []
     width = n
     for b in range(path_depth):
         shrink_here = (
@@ -616,7 +637,7 @@ def path_trace_nee_shrink(
                 or shrink_here,
             )
         )
-        segments = segments + segs
+        segs_list.append(segs)
         state = (o_, d_, thr, rad, alive, prev, uids_, pos)
         if shrink_here:
             count = int(n_alive)
@@ -626,13 +647,18 @@ def path_trace_nee_shrink(
             while new_w // 4 >= max(count, min_width):
                 new_w //= 4
             if new_w < width:
-                retired.append((pos[new_w:], rad[new_w:]))
-                state = tuple(x[:new_w] for x in state)
+                state, rpos, rrad, _ = _truncate_retire(
+                    state, new_w, 7, 3, 4
+                )
+                retired.append((rpos, rrad))
                 width = new_w
 
     pos_parts = [state[7]] + [p for p, _ in retired]
     rad_parts = [state[3]] + [r for _, r in retired]
-    return _unsort_radiance(tuple(pos_parts), tuple(rad_parts)), segments
+    rad3, segments, _ = _finish_unsort(
+        tuple(pos_parts), tuple(rad_parts), tuple(segs_list), ()
+    )
+    return rad3, segments
 
 
 def _bounce_once_core(
@@ -722,18 +748,20 @@ def path_trace_static(
         state = (o_, d_, thr_, rad_, alive_, uids_, pos_)
 
     retired: list = []
-    ok = jnp.asarray(True)
-    segments = jnp.zeros((), jnp.float32)
+    clip_flags: list = []
+    segs_list: list = []
     width = n
     for b in range(path_depth):
         if widths[b] < width:
-            o_, d_, thr, rad, alive, uids_, pos = state
             # truncation correctness: the previous bounce's exit sort
             # parked dead rays at the tail, so a tail row that is still
-            # alive means the schedule undershot — flag it
-            ok = ok & ~jnp.any(alive[widths[b]:])
-            retired.append((pos[widths[b]:], rad[widths[b]:]))
-            state = tuple(x[:widths[b]] for x in state)
+            # alive means the schedule undershot — flagged by
+            # _truncate_retire, combined in _finish_unsort
+            state, rpos, rrad, clipped = _truncate_retire(
+                state, widths[b], 6, 3, 4
+            )
+            clip_flags.append(clipped)
+            retired.append((rpos, rrad))
             width = widths[b]
         o_, d_, thr, rad, alive, uids_, pos = state
         shrink_next = b + 1 < path_depth and widths[b + 1] < width
@@ -742,14 +770,17 @@ def path_trace_static(
             rnglib.SITE_BOUNCE0 + b, max_trace_dist,
             (sort_rays and b < path_depth - 1) or shrink_next,
         )
-        segments = segments + segs
+        segs_list.append(segs)
         state = (o_, d_, thr, rad, alive, uids_, pos)
         if collect_live is not None:
             collect_live.append(n_alive)
 
     pos_parts = [state[6]] + [p for p, _ in retired]
     rad_parts = [state[3]] + [r for _, r in retired]
-    return _unsort_radiance(tuple(pos_parts), tuple(rad_parts)), segments, ok
+    return _finish_unsort(
+        tuple(pos_parts), tuple(rad_parts), tuple(segs_list),
+        tuple(clip_flags),
+    )
 
 
 def path_trace_shrink(
@@ -816,7 +847,7 @@ def path_trace_shrink(
         state = (o_, d_, thr_, rad_, alive_, uids_, pos_)
 
     retired: list = []  # (pos, rad) of truncated dead tails
-    segments = jnp.zeros((), jnp.float32)
+    segs_list: list = []
     width = n
     for b in range(path_depth):
         shrink_here = (
@@ -833,7 +864,7 @@ def path_trace_shrink(
             rnglib.SITE_BOUNCE0 + b, max_trace_dist,
             (sort_rays and b < path_depth - 1) or shrink_here,
         )
-        segments = segments + segs
+        segs_list.append(segs)
         state = (o_, d_, thr, rad, alive, uids_, pos)
         if collect_live is not None:
             collect_live.append(n_alive)
@@ -845,14 +876,19 @@ def path_trace_shrink(
             while new_w // 4 >= max(count, min_width):
                 new_w //= 4
             if new_w < width:
-                retired.append((pos[new_w:], rad[new_w:]))
-                state = tuple(x[:new_w] for x in state)
+                state, rpos, rrad, _ = _truncate_retire(
+                    state, new_w, 6, 3, 4
+                )
+                retired.append((rpos, rrad))
                 width = new_w
 
     # reassemble full width and restore caller order
     pos_parts = [state[6]] + [p for p, _ in retired]
     rad_parts = [state[3]] + [r for _, r in retired]
-    return _unsort_radiance(tuple(pos_parts), tuple(rad_parts)), segments
+    rad3, segments, _ = _finish_unsort(
+        tuple(pos_parts), tuple(rad_parts), tuple(segs_list), ()
+    )
+    return rad3, segments
 
 
 def phong_trace(
