@@ -181,18 +181,28 @@ def test_sharded_staged_static_bit_identical(monkeypatch):
     bit-identical to the single-device staged render. Spies on the
     factory to prove the fast path actually ran (round-4 gap: sharded
     big-mesh renders silently fell back to full-width path_trace)."""
+    import dataclasses
+
     from cs397raytracingsp22_tpu.render.driver import render_to_image
     from tests.test_shrink import textured_scene
 
     monkeypatch.setenv("RT_PALLAS", "1")
     monkeypatch.setenv("RT_SHRINK", "1")
-    monkeypatch.setenv("RT_STATIC", "1")
     monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "4")
 
-    scene = textured_scene()
-    img_ref, _ = render_to_image(
-        scene, seed=3, verbose=False, pixel_chunk=64
+    # smallest scene that exercises the whole machinery: XLA-CPU
+    # compile of the shard_map staged programs scales with path_depth
+    # (one bounce-program instance per bounce), and this test's cold
+    # compile is the default tier's single largest line
+    base = textured_scene(width=8, height=8, spp=4)
+    scene = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera, path_depth=4)
     )
+    monkeypatch.setenv("RT_STATIC", "0")
+    img_ref, _ = render_to_image(
+        scene, seed=3, verbose=False, pixel_chunk=16
+    )
+    monkeypatch.setenv("RT_STATIC", "1")
 
     calls = []
     real_factory = sharding.make_sharded_staged_render_chunk
@@ -204,42 +214,45 @@ def test_sharded_staged_static_bit_identical(monkeypatch):
     monkeypatch.setattr(
         sharding, "make_sharded_staged_render_chunk", spy
     )
-    mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
+    mesh = sharding.make_device_mesh(n_dp=2, n_sp=2)
     img_sh, _ = render_to_image(
-        scene, seed=3, verbose=False, pixel_chunk=64, mesh=mesh
+        scene, seed=3, verbose=False, pixel_chunk=16, mesh=mesh
     )
     np.testing.assert_array_equal(img_ref, img_sh)
     # one measure build (widths=None) + ≥1 static-schedule build
     assert None in calls and any(w is not None for w in calls)
-    # the baked schedules are LOCAL widths (64px/4dp × 4spp/2sp × 1
-    # chain = 32 rays/device) that actually shrink for this mostly-sky
+    # the baked schedules are LOCAL widths (16px/2dp × 4spp/2sp × 1
+    # chain = 16 rays/device) that actually shrink for this mostly-sky
     # scene (most rays die within two bounces)
     baked = [w for w in calls if w is not None]
-    assert all(w[0] == 32 for w in baked)
+    assert all(w[0] == 16 for w in baked)
     assert any(w[-1] < w[0] for w in baked)
 
 
+@pytest.mark.heavy
 def test_sharded_staged_violation_replay_and_fallback(monkeypatch):
     """A hopeless width schedule under the sharded staged executor must
     trip the ok=False flag, hit the driver's margin-cap fallback, and
     still produce the bit-identical image via the full-width sharded
-    path (the always-correct executor)."""
+    path (the always-correct executor). Heavy tier: its cold XLA-CPU
+    compile (measure + static + plain shard_map programs) is minutes;
+    the same violation/margin/fallback logic runs in the default tier
+    single-device (test_static_widths) and the sharded happy path +
+    measure/bake is test_sharded_staged_static_bit_identical."""
     from cs397raytracingsp22_tpu.render.driver import render_to_image
     from tests.test_shrink import textured_scene
+    from tests.test_static_widths import _shrink_reference_image
 
     monkeypatch.setenv("RT_PALLAS", "1")
     monkeypatch.setenv("RT_SHRINK", "1")
     monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "4")
-    monkeypatch.setenv("RT_STATIC", "0")
-    scene = textured_scene()
-    img_ref, _ = render_to_image(
-        scene, seed=3, verbose=False, pixel_chunk=64
-    )
+    img_ref = _shrink_reference_image(monkeypatch)
     monkeypatch.setenv("RT_STATIC", "1")
     monkeypatch.setenv("RT_STATIC_MARGIN", "0.001")
     monkeypatch.setenv("RT_STATIC_MAX_MARGIN", "0.001")
-    mesh = sharding.make_device_mesh(n_dp=4, n_sp=2)
+    mesh = sharding.make_device_mesh(n_dp=2, n_sp=2)
     img_sh, _ = render_to_image(
-        scene, seed=3, verbose=False, pixel_chunk=64, mesh=mesh
+        textured_scene(), seed=3, verbose=False, pixel_chunk=64,
+        mesh=mesh,
     )
     np.testing.assert_array_equal(img_ref, img_sh)

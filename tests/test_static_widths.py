@@ -226,10 +226,12 @@ def test_driver_one_measure_replay_per_violation(monkeypatch):
     assert any(c > 0 for c in merges[-1][1])
 
 
+@pytest.mark.heavy
 def test_driver_static_fused_bit_identical(monkeypatch):
     """RT_STATIC_FUSE=1 (whole-chunk jit around path_trace_static) must
     produce the bit-identical image to the eager staged composition —
-    same programs, one outer jit."""
+    same programs, one outer jit. Heavy tier: the feature is opt-in and
+    the whole-chunk jit is a fresh multi-bounce XLA-CPU compile."""
     monkeypatch.setenv("RT_PALLAS", "1")
     monkeypatch.setenv("RT_SHRINK", "1")
     monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "16")
