@@ -243,3 +243,40 @@ def test_driver_static_fused_bit_identical(monkeypatch):
         textured_scene(), seed=3, verbose=False, pixel_chunk=64
     )
     np.testing.assert_array_equal(img_shrink, img_fused)
+
+
+def test_staged_checkpoint_resume_bit_identical(monkeypatch, tmp_path):
+    """Checkpoint/resume through the STAGED static-width executor: the
+    schedule-measure/bake machinery must compose with spp-chunked
+    checkpointing (staged_state persists across spp chunks), and a
+    resume from the final checkpoint must reproduce the image bit-
+    exactly with zero new rays — the textured-scene twin of
+    test_driver.test_checkpoint_resume (which covers the dense path)."""
+    import dataclasses
+
+    from tests.test_shrink import textured_scene
+
+    monkeypatch.setenv("RT_PALLAS", "1")
+    monkeypatch.setenv("RT_SHRINK", "1")
+    monkeypatch.setenv("RT_STATIC", "1")
+    monkeypatch.setenv("RT_STATIC_MIN_WIDTH", "4")
+    base = textured_scene(width=8, height=8, spp=4)
+    scene = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera, path_depth=4)
+    )
+    ckpt = str(tmp_path / "staged.npz")
+
+    img_ref, _ = render_to_image(
+        scene, seed=9, spp_chunk=2, pixel_chunk=16, verbose=False
+    )
+    img_ck, _ = render_to_image(
+        scene, seed=9, spp_chunk=2, pixel_chunk=16, verbose=False,
+        checkpoint_path=ckpt,
+    )
+    np.testing.assert_array_equal(img_ref, img_ck)
+    img_res, stats = render_to_image(
+        scene, seed=9, spp_chunk=2, pixel_chunk=16, verbose=False,
+        checkpoint_path=ckpt,
+    )
+    np.testing.assert_array_equal(img_ref, img_res)
+    assert stats.primary_rays == 0  # fully resumed from the checkpoint
